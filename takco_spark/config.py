@@ -1,0 +1,67 @@
+"""Pipeline configuration.
+
+The reference drives its cluster stage from a TOML config
+(/root/reference/resources/pipelines/wikitables.toml:160-196: matchers, agg
+function string, agg_threshold, LSH num_perm/threshold, max_cluster_size).
+This dataclass is the Spark-native equivalent: plain values, no reflection.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PipelineConfig:
+    # --- blocking -----------------------------------------------------------
+    #: which blockers to run: any subset of {"token", "minhash"}.
+    blockers: tuple[str, ...] = ("token", "minhash")
+    #: minimum token length considered a blocking key (reference skips short /
+    #: numeric cells for lookup, takco/link/base.py:200-201).
+    min_token_len: int = 2
+    #: blocks larger than this are dropped entirely (stop-word-like keys whose
+    #: pair blowup is quadratic); the drop is COUNTED and logged, never silent.
+    max_block_size: int = 200
+    #: blocks larger than this but <= max_block_size are salted: split into
+    #: ceil(size/salt_threshold) buckets by hash(doc_id); pairs form only
+    #: within a bucket. Bounds the per-key pair count at scale (north rule).
+    salt_threshold: int = 64
+    # --- MinHash-LSH (reference params: lsh.py:36-38, num_perm=128, thr 0.5)
+    num_perm: int = 128
+    lsh_bands: int = 32  # 32 bands × 4 rows → s-curve threshold ≈ 0.42
+    minhash_seed: int = 42
+    # --- scoring ------------------------------------------------------------
+    #: similarity aggregation expression over the per-matcher score columns;
+    #: same surface as takco's numexpr agg strings
+    #: (takco/cluster/cluster.py:214-243), e.g.
+    #: "@mean(@max(jaccard, jw), @max(lev_sim, tfidf_cos))".
+    #: default gates on the token-level signal: string sims (jw/lev) alone are
+    #: too generous on same-length word-soup, so they only LIFT a pair that
+    #: already shares tokens — mirrors the reference's practice of combining a
+    #: set matcher with softer matchers under one agg (wikitables.toml:162).
+    agg_expr: str = "@mean(jaccard, @max(jw, lev_sim))"
+    #: edges with agg score >= threshold enter the clustering graph
+    #: (reference agg_threshold, wikitables.toml:166).
+    agg_threshold: float = 0.60
+    #: compute the TF-IDF cosine matcher (extra token join) — costs one more
+    #: shuffle; off by default in the flagship config.
+    use_tfidf: bool = False
+    # --- clustering ---------------------------------------------------------
+    #: clusters larger than this are re-sliced (reference max_cluster_size,
+    #: wikitables.toml:168 = 250; 0 disables).
+    max_cluster_size: int = 0
+    #: max large-star/small-star rounds before declaring non-convergence.
+    max_cc_iterations: int = 20
+    # --- checkpointing ------------------------------------------------------
+    checkpoint_dir: str | None = None
+    run_id: str = "run0"
+    #: stage names that are checkpointed when checkpoint_dir is set.
+    checkpoint_stages: tuple[str, ...] = ("blocks", "pairs_scored", "components")
+    # --- misc ---------------------------------------------------------------
+    seed: int = 42
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def lsh_rows_per_band(self) -> int:
+        assert self.num_perm % self.lsh_bands == 0, "num_perm must divide into bands"
+        return self.num_perm // self.lsh_bands

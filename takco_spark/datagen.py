@@ -1,0 +1,150 @@
+"""Deterministic synthetic corpus with planted duplicates (FIXTURES.md §1-3).
+
+Generates the `input_hint`-shaped document table entirely as a pure function
+of (doc_id, seed) — no RNG state, no wall clock — so every scale regenerates
+bit-identically and tests/bench can derive golden clusters.
+
+Layout per corpus of N docs:
+- the first ``dup_fraction·N`` docs are grouped into entities of
+  ``variants`` surface variants each (token-swap / char-edit / token-drop
+  perturbations around a base name, plus a rare entity-specific token that
+  guarantees a shared blocking key within the entity — FIXTURES.md §1
+  "duplicate planting");
+- the rest are singleton noise docs with unique tokens;
+- EVERY doc also carries a couple of stop-word tokens ("the", "data", …) so
+  hot-key dropping / salting is actually exercised at any scale;
+- each doc ends with one media span (kind='media', media_ref set) so the
+  span-sequence invariant covers media spans too.
+
+Generation is distributed: ``spark.range(N)`` → ``mapInPandas`` (Arrow
+batches; the per-row work is trivial string assembly).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from takco_spark.spans import SPANS_TYPE
+
+_SYLLABLES = [c + v for c in "bdfgklmnprstvz" for v in "aeiou"]  # 70 syllables
+
+
+def _word(h: int) -> str:
+    """Deterministic pseudo-word from an integer."""
+    s = []
+    x = h & 0xFFFFFFFFFFFFFFFF
+    for _ in range(3):
+        s.append(_SYLLABLES[x % len(_SYLLABLES)])
+        x //= len(_SYLLABLES)
+    return "".join(s)
+
+
+def _mix(*parts: int) -> int:
+    """splitmix64-style integer hash — pure, portable, seedable."""
+    x = 0x9E3779B97F4A7C15
+    for p in parts:
+        x = (x + p) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+    return x
+
+
+_STOPWORDS = ["the", "data", "of", "table"]
+_KIND_CYCLE = ["header", "cell", "cell", "mention", "cell"]
+
+
+def _doc_tokens(i: int, n_dup: int, variants: int, seed: int) -> tuple[list[str], int]:
+    """Token list + true_entity for doc index i."""
+    if i < n_dup:
+        entity = i // variants
+        variant = i % variants
+        base = [_word(_mix(seed, entity, j)) for j in range(3)] + [f"ent{entity}x"]
+        if variant == 1 and len(base[1]) > 1:
+            base[1] = base[1] + "q"  # char edit, Levenshtein distance 1
+        elif variant == 2:
+            base[0], base[1] = base[1], base[0]  # token swap
+        elif variant >= 3:
+            base = base[:2] + base[3:]  # token drop
+        toks = base
+    else:
+        entity = 1_000_000_000 + i
+        toks = [_word(_mix(seed, 7, i, j)) for j in range(4)] + [f"nz{i}"]
+        variant = 0
+    # two stop-words per doc → guaranteed hot blocking keys at any scale.
+    # Dup docs draw them per-ENTITY (variant token sets stay high-Jaccard);
+    # noise docs draw per-doc.
+    key = entity if i < n_dup else i
+    toks = toks + [_STOPWORDS[_mix(seed, key, 11) % len(_STOPWORDS)],
+                   _STOPWORDS[_mix(seed, key, 13) % len(_STOPWORDS)]]
+    return toks, entity
+
+
+def _make_rows(ids: pd.Series, n_dup: int, variants: int, seed: int) -> pd.DataFrame:
+    doc_ids, spans_col, entities = [], [], []
+    for i in ids:
+        i = int(i)
+        toks, entity = _doc_tokens(i, n_dup, variants, seed)
+        spans = [
+            {
+                "kind": _KIND_CYCLE[j % len(_KIND_CYCLE)],
+                "text": t,
+                "media_ref": "",
+                "offset": j,
+            }
+            for j, t in enumerate(toks)
+        ]
+        spans.append(
+            {
+                "kind": "media",
+                "text": "",
+                "media_ref": f"m{_mix(seed, i, 17) % 100000}",
+                "offset": len(toks),
+            }
+        )
+        doc_ids.append(f"d{i:09d}")
+        spans_col.append(spans)
+        entities.append(entity)
+    return pd.DataFrame(
+        {"doc_id": doc_ids, "spans": spans_col, "true_entity": entities}
+    )
+
+
+def synth_documents(
+    spark: SparkSession,
+    n_docs: int,
+    dup_fraction: float = 0.6,
+    variants: int = 3,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic corpus: (doc_id, spans, true_entity).
+
+    ``true_entity`` is the GOLD side table merged in for convenience — the
+    pipeline must only read (doc_id, spans).
+    """
+    n_dup = int(n_docs * dup_fraction) // variants * variants
+    schema = f"doc_id string, spans {SPANS_TYPE}, true_entity long"
+    base = spark.range(0, n_docs, numPartitions=partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _make_rows(pdf["id"], n_dup, variants, seed)
+
+    return base.mapInPandas(gen, schema=schema)
+
+
+def expected_clusters_py(n_docs: int, dup_fraction: float = 0.6,
+                         variants: int = 3) -> dict[str, int]:
+    """Driver-side golden mapping doc_id → entity (for small-corpus asserts)."""
+    n_dup = int(n_docs * dup_fraction) // variants * variants
+    out = {}
+    for i in range(n_docs):
+        entity = i // variants if i < n_dup else 1_000_000_000 + i
+        out[f"d{i:09d}"] = entity
+    return out

@@ -1,0 +1,179 @@
+"""Blocking: documents → (block_key, doc_id) → candidate pairs.
+
+Reference semantics being reproduced:
+- token / inverted-index blocking: tables sharing any tokenized cell become
+  candidates (CellJaccMatcher.block,
+  /root/reference/takco/cluster/matchers/celljacc.py:63-69,102-105);
+- MinHash-LSH blocking: 128-perm MinHash, banded LSH, candidates where
+  estimated Jaccard ≥ threshold (LSHMatcher,
+  /root/reference/takco/cluster/matchers/lsh.py:107-144,215-226).
+
+Spark-first shape: a blocker is DATA, not an index object — it emits
+``(block_key: string, doc_id: string)`` rows; candidate pairs are a
+self-equi-join on ``block_key``. Skew is handled explicitly (north rule):
+
+1. **hot-key drop**: keys with > ``max_block_size`` docs are dropped outright
+   (stop-word tokens — quadratic pair blowup for near-zero precision);
+2. **salting**: keys above ``salt_threshold`` are split into
+   ceil(size/salt_threshold) salt buckets by hash(doc_id); pairs form only
+   within a bucket.
+
+Neither cap is silent: :func:`block_documents` returns a stats dict with
+dropped/salted key counts, persisted into the stage's lineage metrics — the
+analog of the reference's logged blocking reduction factor
+(/root/reference/takco/cluster/cluster.py:385-390).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from takco_spark.config import PipelineConfig
+from takco_spark.functions.similarity import make_lsh_band_udf
+
+
+@dataclass
+class BlockingStats:
+    blocker: str
+    total_keys: int
+    dropped_keys: int
+    salted_keys: int
+    candidate_rows: int
+
+    def as_dict(self) -> dict:
+        return self.__dict__.copy()
+
+
+def token_blocks(features: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(doc_id, tokens) → (block_key='tok:'+token, doc_id). One shuffle
+    (explode is narrow; the distinct-per-doc is already done upstream)."""
+    return features.select(
+        "doc_id", F.explode("tokens").alias("token")
+    ).where(F.length("token") >= cfg.min_token_len).select(
+        F.concat(F.lit("tok:"), F.col("token")).alias("block_key"), "doc_id"
+    )
+
+
+def minhash_blocks(features: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(doc_id, tokens) → one block key per LSH band: 'lsh{band}:{bandhash}'.
+
+    Token hashing (xxhash64) runs JVM-side; the signature+banding runs in one
+    Arrow-batched pandas UDF (functions.similarity).
+    """
+    lsh_udf = make_lsh_band_udf(cfg.num_perm, cfg.lsh_bands, cfg.minhash_seed)
+    hashed = features.select(
+        "doc_id",
+        F.expr("transform(tokens, t -> xxhash64(t))").alias("token_hashes"),
+    )
+    banded = hashed.select(
+        "doc_id", F.posexplode(lsh_udf("token_hashes")).alias("band", "band_hash")
+    )
+    return banded.select(
+        F.concat(
+            F.lit("lsh"), F.col("band"), F.lit(":"), F.col("band_hash")
+        ).alias("block_key"),
+        "doc_id",
+    )
+
+
+def apply_block_caps(
+    blocks: DataFrame, cfg: PipelineConfig, blocker: str = "all"
+) -> tuple[DataFrame, BlockingStats]:
+    """Drop oversized keys, salt hot keys; returns (salted blocks, stats).
+
+    Output schema: (block_key, salt, doc_id); downstream pair join keys on
+    (block_key, salt). Uses one groupBy to size keys, then a broadcast-able
+    join of the (small) hot-key table back onto the block stream so the big
+    side is touched once.
+    """
+    sizes = blocks.groupBy("block_key").agg(F.count("*").alias("n"))
+    total = sizes.count()
+    hot = sizes.where(F.col("n") > cfg.salt_threshold)
+    dropped = hot.where(F.col("n") > cfg.max_block_size)
+    n_dropped = dropped.count()
+    salted_keys = hot.where(F.col("n") <= cfg.max_block_size)
+    n_salted = salted_keys.count()
+
+    # hot-key table is small by construction (heavy-hitter keys only)
+    hot_map = salted_keys.select(
+        "block_key",
+        F.ceil(F.col("n") / cfg.salt_threshold).cast("int").alias("nsalt"),
+    )
+    dropped_keys = dropped.select("block_key")
+
+    out = (
+        blocks.join(F.broadcast(dropped_keys), "block_key", "left_anti")
+        .join(F.broadcast(hot_map), "block_key", "left")
+        .select(
+            "block_key",
+            F.when(
+                F.col("nsalt").isNotNull(),
+                F.pmod(F.xxhash64("doc_id"), F.col("nsalt")).cast("int"),
+            ).otherwise(F.lit(0)).alias("salt"),
+            "doc_id",
+        )
+    )
+    stats = BlockingStats(
+        blocker=blocker,
+        total_keys=int(total),
+        dropped_keys=int(n_dropped),
+        salted_keys=int(n_salted),
+        candidate_rows=-1,
+    )
+    return out, stats
+
+
+def block_documents(
+    features: DataFrame, cfg: PipelineConfig
+) -> tuple[DataFrame, list[BlockingStats]]:
+    """Run the configured blockers and union their capped key streams.
+
+    Returns (blocks(block_key, salt, doc_id), per-blocker stats).
+    """
+    stats: list[BlockingStats] = []
+    parts: list[DataFrame] = []
+    for blocker in cfg.blockers:
+        if blocker == "token":
+            raw = token_blocks(features, cfg)
+        elif blocker == "minhash":
+            raw = minhash_blocks(features, cfg)
+        else:
+            raise ValueError(f"unknown blocker {blocker!r}")
+        capped, st = apply_block_caps(raw, cfg, blocker)
+        parts.append(capped)
+        stats.append(st)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, stats
+
+
+def candidate_pairs(blocks: DataFrame) -> DataFrame:
+    """Self-equi-join on (block_key, salt) → canonical deduplicated pairs.
+
+    ``doc_id_1 < doc_id_2`` canonicalization (reference drops self matches and
+    already-seen pairs, /root/reference/takco/cluster/cluster.py:383,392-397);
+    the pair may arise under many keys — we keep ONE representative
+    ``block_key`` (the min) so the F1-at-shared-blocking-key metric can group
+    by it, and dedup on the pair.
+
+    AQE skew-join handles residual imbalance; the salting above bounds the
+    worst key before the join even starts.
+    """
+    left = blocks.alias("a")
+    right = blocks.alias("b")
+    pairs = (
+        left.join(right, on=["block_key", "salt"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.col("block_key"),
+        )
+    )
+    return pairs.groupBy("doc_id_1", "doc_id_2").agg(
+        F.min("block_key").alias("block_key")
+    )

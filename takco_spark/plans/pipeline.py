@@ -1,0 +1,108 @@
+"""The flagship ER pipeline: documents → blocks → scored pairs → components →
+cluster-labelled documents.
+
+Mirrors the reference cluster-stage lifecycle (TableSet.cluster,
+/root/reference/takco/__init__.py:231-430: matcher build → block → match →
+aggregate+threshold → graph partition → per-partition refinement), re-expressed
+as checkpointed DataFrame stages (SURVEY.md §3 EP2, §7):
+
+    blocks(block_key, salt, doc_id)                      checkpoint #1
+    pairs_scored(doc_id_1, doc_id_2, block_key, scores…) checkpoint #2
+    components(doc_id, cluster_id)                       checkpoint #3
+    labelled documents (spans untouched)                 output
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from takco_spark.config import PipelineConfig
+from takco_spark.operators.blocking import block_documents, candidate_pairs
+from takco_spark.operators.components import (
+    attach_labels,
+    connected_components,
+    rechunk_oversized,
+)
+from takco_spark.operators.scoring import score_pairs
+from takco_spark.sources.checkpoint import CheckpointManager, NullCheckpointManager
+from takco_spark.spans import doc_text_features
+
+
+@dataclass
+class PipelineResult:
+    labelled: DataFrame                 # documents + cluster_id (spans intact)
+    components: DataFrame               # (doc_id, cluster_id)
+    pairs_scored: DataFrame             # scored + thresholded candidate pairs
+    blocks: DataFrame                   # (block_key, salt, doc_id)
+    stats: dict = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> PipelineResult:
+    """Run the full record-linkage pipeline on a span-structured document
+    table ``(doc_id, spans)``; extra input columns pass through to the output
+    unchanged."""
+    cfg = cfg or PipelineConfig()
+    ckpt = (
+        CheckpointManager(spark, cfg.checkpoint_dir, cfg.run_id)
+        if cfg.checkpoint_dir
+        else NullCheckpointManager(spark)
+    )
+    stats: dict = {}
+
+    features = doc_text_features(documents, cfg.min_token_len)
+    # features feed both blocking and scoring — cache once, scan twice
+    features = features.persist()
+
+    blocking_stats: list[dict] = []
+
+    def _blocks() -> DataFrame:
+        out, st = block_documents(features, cfg)
+        blocking_stats.extend(s.as_dict() for s in st)
+        return out
+
+    blocks = ckpt.stage("blocks", _blocks, extra_metrics={"cfg": cfg.blockers})
+    stats["blocking"] = blocking_stats
+
+    def _pairs_scored() -> DataFrame:
+        pairs = candidate_pairs(blocks)
+        return score_pairs(pairs, features, cfg)
+
+    pairs_scored = ckpt.stage(
+        "pairs_scored",
+        _pairs_scored,
+        extra_metrics={"agg_expr": cfg.agg_expr, "threshold": cfg.agg_threshold},
+    )
+
+    cc_meta: dict = {}
+
+    def _components() -> DataFrame:
+        edges = pairs_scored.select(
+            F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+        )
+        res = connected_components(edges, cfg.max_cc_iterations)
+        cc_meta["iterations"] = res.iterations
+        cc_meta["converged"] = res.converged
+        cc_meta["edge_counts"] = res.edge_counts
+        labels = res.labels
+        if cfg.max_cluster_size:
+            labels = rechunk_oversized(labels, cfg.max_cluster_size)
+        return labels
+
+    components = ckpt.stage("components", _components)
+    stats["cc"] = cc_meta
+
+    labelled = attach_labels(documents, components)
+    return PipelineResult(
+        labelled=labelled,
+        components=components,
+        pairs_scored=pairs_scored,
+        blocks=blocks,
+        stats=stats,
+    )

@@ -1,0 +1,93 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are chosen for a multi-executor cluster reading very large inputs
+(AQE on, skew-join on, Arrow on); the sandbox runs the same configs on
+``local[N]``. Nothing here is sandbox-specific — the same session factory is
+what ``spark-submit --py-files takco_spark.zip job.py`` would use.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS: dict[str, str] = {
+    # Adaptive execution: runtime re-plan, partition coalescing, skew-join
+    # splitting. Blocking self-joins are the skew hotspot (SURVEY.md §4).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas UDFs — every scorer is batch-vectorized (input_hint:
+    # "no per-row Python").
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Sane parquet scan granularity for wide scans.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Don't let tiny local runs inherit the 200-partition default blindly;
+    # overridden per-session below.
+    "spark.sql.shuffle.partitions": "64",
+    "spark.ui.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    # Permissive (non-ANSI) SQL semantics: bad casts → null, not job-killing
+    # exceptions — the right behavior for dirty web-scale text input (Spark 4
+    # flipped the default to ANSI).
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def _default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+
+
+def _ensure_package_on_worker_path() -> None:
+    """Make ``takco_spark`` importable by Python workers regardless of the
+    driver's cwd. Local mode workers inherit the driver env's PYTHONPATH; on a
+    real cluster you ship the package with ``spark-submit --py-files
+    takco_spark.zip`` instead (see README) — this is the local-mode analog."""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    current = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{current}" if current else pkg_root
+        )
+
+
+def get_spark(
+    app_name: str = "takco-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's default configs.
+
+    ``shuffle_partitions`` defaults to 2× the local core count — on a real
+    cluster you would size this to total executor cores × 2-3 instead.
+    """
+    _ensure_package_on_worker_path()
+    master = master or _default_master()
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = dict(DEFAULT_CONFS)
+    if shuffle_partitions is None and master.startswith("local["):
+        inner = master[len("local[") : -1]
+        try:
+            cores = os.cpu_count() or 8 if inner == "*" else int(inner)
+            shuffle_partitions = max(8, 2 * cores)
+        except ValueError:
+            shuffle_partitions = 64
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        confs.update(extra_conf)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    """Stop the active session if any (used by the bench harness to switch
+    parallelism levels between runs)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

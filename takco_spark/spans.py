@@ -1,0 +1,118 @@
+"""Span-structured document model (the `input_hint` shape).
+
+A document is ``(doc_id: string, spans: array<struct<kind:string, text:string,
+media_ref:string, offset:int>>)`` — text interleaved with typed span
+references, the Spark analog of takco's cell-with-hyperlink-spans model
+(/root/reference/takco/linkedstring.py:4-88, /root/reference/takco/table.py:76-132:
+a cell is a string plus offset-ordered typed links).
+
+The span ORDER within a row is the sequence invariant the pipeline must
+preserve byte-for-byte (kind, text, media_ref, order). We guarantee it
+structurally: the ``spans`` column is carried through untouched and labels are
+attached by join on ``doc_id``; :func:`span_sequence_mismatches` verifies it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SPAN_KINDS = ("cell", "header", "mention", "media")
+
+SPANS_TYPE = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+DOCUMENT_SCHEMA = f"doc_id string, spans {SPANS_TYPE}"
+
+
+def with_spans(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               seed: int = 42) -> DataFrame:
+    """Synthesize the span-structured shape from a flat-text document table.
+
+    Deterministic pure function of (row, seed): tokenize ``text_col`` on
+    non-word boundaries; token *i* becomes span *i* with ``offset = i`` and a
+    kind chosen by seeded hash (mostly 'cell', occasionally
+    'header'/'mention'/'media'; media spans get a deterministic media_ref).
+    Used to lift the driver's flat ``documents.parquet`` into the
+    `input_hint` shape (FIXTURES.md §1).
+    """
+    spans_expr = f"""
+      transform(
+        filter(split(lower(cast({text_col} as string)), '\\\\W+'), t -> t != ''),
+        (t, i) -> struct(
+          CASE pmod(xxhash64(cast({id_col} as string), i, {int(seed)}), 12)
+            WHEN 0 THEN 'header'
+            WHEN 1 THEN 'mention'
+            WHEN 2 THEN 'media'
+            ELSE 'cell'
+          END AS kind,
+          t AS text,
+          CASE WHEN pmod(xxhash64(cast({id_col} as string), i, {int(seed)}), 12) = 2
+               THEN concat('m', cast(pmod(xxhash64(t, {int(seed)}), 100000) as string))
+               ELSE '' END AS media_ref,
+          cast(i as int) AS offset))
+    """
+    return df.withColumn("spans", F.expr(spans_expr)).withColumn(
+        "doc_id", F.col(id_col).cast("string")
+    )
+
+
+def explode_spans(documents: DataFrame) -> DataFrame:
+    """Long-format view: one row per span — ``(doc_id, kind, text, media_ref,
+    offset)``. The Spark-idiomatic equivalent of iterating LinkedString links
+    (/root/reference/takco/linkedstring.py:22-49)."""
+    return documents.select(
+        "doc_id", F.explode("spans").alias("span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def doc_text_features(documents: DataFrame, min_token_len: int = 2) -> DataFrame:
+    """Per-document text features used by blocking and scoring:
+
+    - ``name``:   all non-media span texts joined in span (offset) order —
+      the comparable surface string (analog of a table's cell text stream);
+    - ``tokens``: distinct lowercased tokens of the non-media spans, length
+      >= min_token_len (tokenization per takco's default_tokenize,
+      /root/reference/takco/cluster/matchers/matcher.py:23-26: lowercase,
+      split on \\W+).
+
+    One narrow projection; everything is built with JVM-side higher-order
+    functions (no Python). Span order is honored via array_sort on offset.
+    """
+    ordered = (
+        "array_sort(filter(spans, s -> s.kind != 'media'), "
+        "(a, b) -> case when a.offset < b.offset then -1 "
+        "when a.offset > b.offset then 1 else 0 end)"
+    )
+    return documents.select(
+        "doc_id",
+        F.expr(
+            f"array_join(transform({ordered}, s -> s.text), ' ')"
+        ).alias("name"),
+        F.expr(
+            f"""array_distinct(filter(
+                  flatten(transform({ordered}, s -> split(lower(s.text), '\\\\W+'))),
+                  t -> length(t) >= {int(min_token_len)}))"""
+        ).alias("tokens"),
+    )
+
+
+def span_sequence_mismatches(a: DataFrame, b: DataFrame) -> int:
+    """Count rows whose (kind, text, media_ref, order) span sequence differs
+    between two document tables sharing doc_id. 0 ⇒ the per-row invariant
+    holds (BASELINE.json input_hint)."""
+    norm = (
+        "transform(array_sort(spans, (x, y) -> case when x.offset < y.offset then -1 "
+        "when x.offset > y.offset then 1 else 0 end), s -> struct(s.kind, s.text, s.media_ref))"
+    )
+    an = a.select("doc_id", F.expr(norm).alias("seq_a"))
+    bn = b.select("doc_id", F.expr(norm).alias("seq_b"))
+    joined = an.join(bn, "doc_id", "full_outer")
+    return joined.where(
+        ~(F.col("seq_a").eqNullSafe(F.col("seq_b")))
+    ).count()

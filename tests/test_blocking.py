@@ -1,0 +1,71 @@
+"""Blocking: token/minhash keys, hot-key drop, salting, pair canonicalization."""
+
+from pyspark.sql import functions as F
+
+from takco_spark.config import PipelineConfig
+from takco_spark.datagen import synth_documents
+from takco_spark.operators.blocking import (
+    apply_block_caps,
+    block_documents,
+    candidate_pairs,
+    minhash_blocks,
+    token_blocks,
+)
+from takco_spark.spans import doc_text_features
+
+
+def _features(spark, n=60):
+    docs = synth_documents(spark, n, seed=42)
+    return doc_text_features(docs.select("doc_id", "spans"))
+
+
+def test_token_blocks_share_entity_token(spark):
+    cfg = PipelineConfig(blockers=("token",))
+    feats = _features(spark)
+    blocks = token_blocks(feats, cfg)
+    # entity 0's rare token groups exactly its `variants` docs
+    ent0 = blocks.where(F.col("block_key") == "tok:ent0x").count()
+    assert ent0 == 3
+
+
+def test_hot_key_dropped_and_salted(spark):
+    cfg = PipelineConfig(blockers=("token",), max_block_size=20, salt_threshold=8)
+    feats = _features(spark, n=60)  # stop-words appear in ~most of 60 docs
+    blocks = token_blocks(feats, cfg)
+    capped, stats = apply_block_caps(blocks, cfg, "token")
+    assert stats.dropped_keys >= 1  # at least one stop-word key dropped
+    sizes = capped.groupBy("block_key", "salt").count()
+    assert sizes.agg(F.max("count")).collect()[0][0] <= cfg.max_block_size
+    # salted keys exist and have >1 salt bucket
+    if stats.salted_keys:
+        nsalts = capped.groupBy("block_key").agg(
+            F.countDistinct("salt").alias("s")
+        )
+        assert nsalts.agg(F.max("s")).collect()[0][0] > 1
+
+
+def test_minhash_blocks_collide_for_identical_docs(spark):
+    cfg = PipelineConfig(blockers=("minhash",))
+    feats = _features(spark)
+    mh = minhash_blocks(feats, cfg)
+    # identical token sets → all bands equal; doc pairs of the same entity
+    # with variant perturbations must share at least one band
+    pairs = (
+        mh.alias("a")
+        .join(mh.alias("b"), "block_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+    )
+    assert pairs.count() > 0
+
+
+def test_candidate_pairs_canonical_dedup(spark):
+    cfg = PipelineConfig(blockers=("token", "minhash"))
+    feats = _features(spark)
+    blocks, stats = block_documents(feats, cfg)
+    pairs = candidate_pairs(blocks)
+    pdf = pairs.toPandas()
+    assert (pdf["doc_id_1"] < pdf["doc_id_2"]).all()
+    assert not pdf.duplicated(["doc_id_1", "doc_id_2"]).any()
+    assert len(stats) == 2

@@ -1,0 +1,59 @@
+"""Checkpointing: resume-skip semantics, lineage metrics, mid-stage restart."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from takco_spark.config import PipelineConfig
+from takco_spark.datagen import synth_documents
+from takco_spark.plans.pipeline import run_pipeline
+from takco_spark.sources.checkpoint import CheckpointManager
+
+
+def test_stage_skip_and_lineage(spark, tmp_path):
+    ckpt = CheckpointManager(spark, str(tmp_path / "ck"), run_id="r1")
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return spark.range(10).select(F.col("id"))
+
+    df1 = ckpt.stage("s1", compute)
+    assert df1.count() == 10
+    df2 = ckpt.stage("s1", compute)  # resume: closure NOT re-invoked
+    assert df2.count() == 10
+    assert len(calls) == 1
+    lineage = ckpt.lineage()
+    assert any(not r["skipped"] for r in lineage if r["stage"] == "s1")
+    assert any(r["skipped"] for r in lineage if r["stage"] == "s1")
+    assert all(r["run_id"] == "r1" for r in lineage)
+    assert sum(r["rows"] for r in lineage if not r["skipped"]) == 10
+
+
+def test_pipeline_resume_mid_stage(spark, tmp_path):
+    """Kill-after-stage-k simulation: run fully, delete the LAST stage
+    artifact, re-run — earlier stages are skipped, output identical."""
+    base = str(tmp_path / "pipe")
+    docs = synth_documents(spark, 90, seed=42).select("doc_id", "spans")
+    cfg = PipelineConfig(checkpoint_dir=base, run_id="runA")
+    res1 = run_pipeline(spark, docs, cfg)
+    out1 = sorted(
+        (r["doc_id"], r["cluster_id"]) for r in res1.components.collect()
+    )
+
+    # simulate a crash before the components stage was written
+    shutil.rmtree(f"{base}/components")
+    cfg2 = PipelineConfig(checkpoint_dir=base, run_id="runB")
+    res2 = run_pipeline(spark, docs, cfg2)
+    out2 = sorted(
+        (r["doc_id"], r["cluster_id"]) for r in res2.components.collect()
+    )
+    assert out1 == out2
+
+    ckpt = CheckpointManager(spark, base, "inspect")
+    lineage = ckpt.lineage()
+    # second run: blocks + pairs_scored resumed (skipped), components rebuilt
+    runb = [r for r in lineage if r["run_id"] == "runB"]
+    assert any(r["stage"] == "blocks" and r["skipped"] for r in runb)
+    assert any(r["stage"] == "pairs_scored" and r["skipped"] for r in runb)
+    assert any(r["stage"] == "components" and not r["skipped"] for r in runb)

@@ -1,0 +1,135 @@
+"""End-to-end: planted duplicates → pipeline → pairwise F1 vs golden clusters.
+
+The golden clusters are computed with reference semantics: token-set Jaccard
+(celljacc arithmetic, /root/reference/takco/cluster/matchers/celljacc.py:114-117)
+over pairs at shared blocking keys, thresholded, then transitive closure via a
+pure-python union-find — independent of the Spark CC implementation.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from takco_spark.config import PipelineConfig
+from takco_spark.datagen import synth_documents
+from takco_spark.plans.metrics import block_stats, labeled_pairs_f1, pairwise_f1
+from takco_spark.plans.pipeline import run_pipeline
+from takco_spark.spans import span_sequence_mismatches
+
+N_DOCS = 240
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = synth_documents(spark, N_DOCS, seed=42).persist()
+    docs.count()
+    return docs
+
+
+def _cfg(**kw):
+    base = dict(
+        blockers=("token", "minhash"),
+        agg_expr="@mean(jaccard, @max(jw, lev_sim))",
+        agg_threshold=0.6,
+        max_block_size=60,
+        salt_threshold=24,
+    )
+    base.update(kw)
+    return PipelineConfig(**base)
+
+
+def test_pipeline_f1_against_planted_entities(spark, corpus):
+    docs = corpus.select("doc_id", "spans")
+    gold = corpus.select("doc_id", "true_entity")
+    res = run_pipeline(spark, docs, _cfg())
+    prf = pairwise_f1(res.components, gold)
+    assert prf.f1 >= 0.99, prf.as_dict()
+    assert prf.precision >= 0.99 and prf.recall >= 0.99
+
+
+def test_pipeline_matches_reference_semantics_golden(spark, corpus):
+    """Golden = union-find over token-Jaccard >= t pairs at shared (capped)
+    blocking keys — recomputed in plain Python, reference arithmetic."""
+    cfg = _cfg(agg_expr="jaccard", agg_threshold=0.5, blockers=("token",))
+    docs = corpus.select("doc_id", "spans")
+    res = run_pipeline(spark, docs, cfg)
+
+    # -- golden, driver-side ------------------------------------------------
+    from takco_spark.spans import doc_text_features
+
+    feats = {
+        r["doc_id"]: set(r["tokens"])
+        for r in doc_text_features(docs).collect()
+    }
+    # same blocking universe as the pipeline: its own capped blocks stage
+    block_docs = {}
+    for r in res.blocks.collect():
+        block_docs.setdefault((r["block_key"], r["salt"]), []).append(r["doc_id"])
+    cand = set()
+    for members in block_docs.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cand.add((ms[i], ms[j]))
+    parent = {d: d for d in feats}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in cand:
+        ta, tb = feats[a], feats[b]
+        jac = len(ta & tb) / len(ta | tb) if (ta | tb) else 0.0
+        if jac >= cfg.agg_threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    golden = {d: find(d) for d in feats}
+
+    got = {r["doc_id"]: r["cluster_id"] for r in res.labelled.select("doc_id", "cluster_id").collect()}
+    assert got == golden
+
+
+def test_span_sequence_preserved_end_to_end(spark, corpus):
+    docs = corpus.select("doc_id", "spans")
+    res = run_pipeline(spark, docs, _cfg())
+    out_docs = res.labelled.select("doc_id", "spans")
+    assert span_sequence_mismatches(docs, out_docs) == 0
+    assert res.labelled.count() == N_DOCS  # every doc labelled exactly once
+
+
+def test_labeled_pairs_f1_protocol(spark, corpus):
+    """F1 on labeled pairs at the shared blocking key (BASELINE.json metric)."""
+    docs = corpus.select("doc_id", "spans")
+    gold = corpus.select("doc_id", "true_entity")
+    res = run_pipeline(spark, docs, _cfg())
+    # labeled pairs = candidate pairs at shared blocking key, labelled by gold
+    from takco_spark.operators.blocking import candidate_pairs
+
+    g1 = gold.select(F.col("doc_id").alias("doc_id_1"), F.col("true_entity").alias("e1"))
+    g2 = gold.select(F.col("doc_id").alias("doc_id_2"), F.col("true_entity").alias("e2"))
+    labeled = (
+        candidate_pairs(res.blocks)
+        .join(g1, "doc_id_1")
+        .join(g2, "doc_id_2")
+        .select(
+            "doc_id_1", "doc_id_2", "block_key",
+            (F.col("e1") == F.col("e2")).alias("is_match"),
+        )
+    )
+    prf = labeled_pairs_f1(res.components.unionByName(
+        # include singleton self-labels for docs not in components
+        docs.select("doc_id").join(res.components, "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    ), labeled)
+    assert prf.f1 >= 0.99, prf.as_dict()
+
+
+def test_block_stats_reduction(spark, corpus):
+    docs = corpus.select("doc_id", "spans")
+    res = run_pipeline(spark, docs, _cfg())
+    st = block_stats(res.blocks)
+    assert st["n_docs"] == N_DOCS
+    assert st["reduction_factor"] > 1.0  # blocking beats the O(n²) worst case
+    assert res.stats["blocking"]  # per-blocker stats recorded
