@@ -1,38 +1,541 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship record-linkage pipeline on sf0.001.
+``queries()`` registers one callable per implemented operator (SURVEY.md §2);
+``oracle_sql()`` provides DuckDB-equivalent ANSI SQL for each SQL-expressible
+entry (rows-only checks for the genuinely non-SQL ops).
+
+Column names AND types are aligned between both sides; every float that is
+an aggregate of many values is rounded identically on both sides so the
+value-hash comparison is stable.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from takco_spark.config import PipelineConfig
+from takco_spark.functions.aggexpr import compile_agg_expr
+from takco_spark.operators import dedup, similarity_search, textstats
+from takco_spark.operators.blocking import candidate_pairs
+from takco_spark.operators.components import attach_labels, connected_components
+from takco_spark.plans.pipeline import run_pipeline
+from takco_spark.spans import with_spans
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: span-structured ER pipeline over sf0.001 documents."""
+    flat = _t(spark, "/root/testdata/sf0.001", "documents")
+    docs = with_spans(flat, text_col="text", id_col="doc_id").select("doc_id", "spans")
+    cfg = PipelineConfig()
+    res = run_pipeline(spark, docs, cfg)
+    return res.labelled.select(
+        "doc_id",
+        "cluster_id",
+        F.size("spans").cast("long").alias("n_spans"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — Spark side
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style groupBy agg (SURVEY.md A1/A4 exercise)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_token_blocking(spark, sf_dir):
+    """J2: inverted-index token blocking — candidate count per key."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower("text"), r"\W+"))
+        ).alias("token"),
+    ).where(F.length("token") >= 2)
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+        .select(
+            "token",
+            "n_docs",
+            F.expr("cast(n_docs * (n_docs - 1) / 2 as bigint)").alias("n_pairs"),
+        )
+    )
+
+
+def q_equi_selfjoin(spark, sf_dir):
+    """J5: exact-key self equi-join (header-equality analog) on part.p_brand."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(b, "p_brand")
+        .where(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def q_agg_expr(spark, sf_dir):
+    """A4: compiled agg-expression DSL over lineitem score-like columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = {"l_discount", "l_tax"}
+    mx = compile_agg_expr("@max(l_discount, l_tax)", cols)
+    mn = compile_agg_expr("@mean(l_discount, l_tax)", cols)
+    p4 = compile_agg_expr("@pow(l_discount, 4)", cols)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg(mx), 6).alias("avg_max_dt"),
+        F.round(F.avg(mn), 6).alias("avg_mean_dt"),
+        F.round(F.avg(p4), 8).alias("avg_disc_pow4"),
+    )
+
+
+def q_pfd(spark, sf_dir):
+    """A9: probabilistic functional dependency P(o_custkey → o_orderpriority)
+    (reference arithmetic: perTuple_pFDs, takco/link/profile.py:33-114)."""
+    o = _t(spark, sf_dir, "orders")
+    co = o.groupBy("o_custkey", "o_orderpriority").agg(F.count("*").alias("n"))
+    per_key = co.groupBy("o_custkey").agg(
+        F.max("n").alias("mx"), F.sum("n").alias("tot")
+    )
+    return per_key.agg(
+        F.round(F.sum("mx") / F.sum("tot"), 6).alias("pfd"),
+        F.count("*").alias("n_keys"),
+    )
+
+
+def q_window_running_sum(spark, sf_dir):
+    """W1: exclusive running sum (the reference's `offset` numbering,
+    takco/util.py:83-96) over events per user."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.coalesce(F.sum("value").over(w), F.lit(0.0)), 4).alias("running"),
+    )
+
+
+def q_window_top1(spark, sf_dir):
+    """W3: top-1 per group — richest customer per nation."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+def q_levenshtein(spark, sf_dir):
+    """F8: normalized Levenshtein similarity (types.py:195-201 arithmetic)."""
+    p = _t(spark, sf_dir, "part")
+    m = F.greatest(F.length("p_name"), F.length("p_brand"))
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_brand").cast("long").alias("lev"),
+        F.round((m - F.levenshtein("p_name", "p_brand")) / m, 6).alias("lev_sim"),
+    )
+
+
+def q_distinct_pairs(spark, sf_dir):
+    """A14: dropDuplicates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_suppkey").dropDuplicates()
+
+
+def q_set_ops(spark, sf_dir):
+    """§2.7: intersect / except over key sets."""
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").cast("int").alias("k"))
+    r = _t(spark, sf_dir, "region").select(F.col("r_regionkey").cast("int").alias("k"))
+    inter = n.intersect(r).select(F.lit("intersect").alias("op"), "k")
+    exc = n.exceptAll(r.intersect(n)).distinct().select(F.lit("except").alias("op"), "k")
+    return inter.unionByName(exc)
+
+
+def q_majority(spark, sf_dir):
+    """A7/A8: majority value per group (mode with deterministic tie-break)."""
+    o = _t(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_custkey", "o_orderpriority").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderpriority").alias("top_priority"), "n")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    return textstats.text_quality(_t(spark, sf_dir, "documents")).withColumn(
+        "n_tokens", F.col("n_tokens").cast("long")
+    ).withColumn("n_chars", F.col("n_chars").cast("long"))
+
+
+def q_token_count(spark, sf_dir):
+    df = textstats.token_count_bpe(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_lang_guess(spark, sf_dir):
+    df = textstats.lang_guess(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id", "lang_guess",
+        F.col("en_hits").cast("long").alias("en_hits"),
+        F.col("fr_hits").cast("long").alias("fr_hits"),
+        F.col("de_hits").cast("long").alias("de_hits"),
+    )
+
+
+def q_fingerprint_dedup(spark, sf_dir):
+    """Exact dedup groups by md5 fingerprint."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Char-5-gram Jaccard near-dup pairs (threshold 0.35)."""
+    df = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.35, k=5
+    )
+    return df.select(
+        "doc_id_1", "doc_id_2", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
+def q_knn_cosine(spark, sf_dir):
+    """Brute-force cosine top-3 for the first 20 query vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity_search.knn_brute_force(
+        emb.where(F.col("vec_id") < 20), emb, k=3
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("cos_sim", 4).alias("cos_r"),
+    )
+
+
+def q_er_cc(spark, sf_dir):
+    """Flagship-equivalent, SQL-checkable ER: token blocking → token-set
+    Jaccard ≥ 0.6 → connected components → (doc_id, cluster_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.format_string("d%09d", F.col("doc_id")).alias("doc_id"),
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower("text"), r"\W+"), lambda t: F.length(t) >= 2
+            )
+        ).alias("tokens"),
+    )
+    blocks = feats.select(
+        F.explode("tokens").alias("block_key"),
+        F.lit(0).alias("salt"),
+        "doc_id",
+    )
+    pairs = candidate_pairs(blocks)
+    f1 = feats.select(F.col("doc_id").alias("doc_id_1"), F.col("tokens").alias("t1"))
+    f2 = feats.select(F.col("doc_id").alias("doc_id_2"), F.col("tokens").alias("t2"))
+    jac = F.size(F.array_intersect("t1", "t2")) / F.size(F.array_union("t1", "t2"))
+    edges = (
+        pairs.join(f1, "doc_id_1").join(f2, "doc_id_2")
+        .where(jac >= 0.6)
+        .select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
+    )
+    labels = connected_components(edges).labels
+    labelled = attach_labels(feats.select("doc_id"), labels)
+    return labelled.select(
+        F.expr("cast(substring(doc_id, 2) as bigint)").alias("doc_id"),
+        F.expr("cast(substring(cluster_id, 2) as bigint)").alias("cluster_id"),
+    )
+
+
+# --- rows-only (non-SQL-expressible) ---------------------------------------
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs (seeded permutations — no SQL
+    twin; validated in pytest against exact shingle Jaccard)."""
+    return dedup.minhash_dedup_buckets(_t(spark, sf_dir, "documents"), k=5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 16 within pigeonhole buckets)."""
+    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=16)
+
+
+def q_er_pipeline_spans(spark, sf_dir):
+    """Full span-structured pipeline (blocking cfg w/ salting + MinHash) —
+    rows-only: LSH banding is seeded-permutation-based."""
+    flat = _t(spark, sf_dir, "documents")
+    docs = with_spans(flat, text_col="text", id_col="doc_id").select("doc_id", "spans")
+    res = run_pipeline(spark, docs, PipelineConfig())
+    return res.labelled.select("doc_id", "cluster_id")
+
+
+def q_knn_lsh(spark, sf_dir):
+    """Approximate ANN via random-hyperplane LSH (seeded planes — rows-only;
+    recall vs brute force asserted in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity_search.knn_lsh(emb.where(F.col("vec_id") < 20), emb, k=3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "token_blocking": q_token_blocking,
+        "equi_selfjoin": q_equi_selfjoin,
+        "agg_expr": q_agg_expr,
+        "pfd": q_pfd,
+        "window_running_sum": q_window_running_sum,
+        "window_top1": q_window_top1,
+        "levenshtein": q_levenshtein,
+        "distinct_pairs": q_distinct_pairs,
+        "set_ops": q_set_ops,
+        "majority": q_majority,
+        "text_quality": q_text_quality,
+        "token_count": q_token_count,
+        "lang_guess": q_lang_guess,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "knn_cosine": q_knn_cosine,
+        "er_cc": q_er_cc,
+        # rows-only (no oracle possible: seeded-hash / pipeline internals)
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "er_pipeline_spans": q_er_pipeline_spans,
+        "knn_lsh": q_knn_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL — DuckDB side (views pre-registered over the same parquet)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "token_blocking": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\W+')) AS tok
+                FROM documents)
+              WHERE length(tok) >= 2)
+            SELECT tok AS token, count(*) AS n_docs,
+                   CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs
+            FROM toks GROUP BY tok HAVING count(*) > 1
+        """,
+        "equi_selfjoin": """
+            SELECT a.p_brand, count(*) AS n_pairs
+            FROM part a JOIN part b ON a.p_brand = b.p_brand
+             AND a.p_partkey < b.p_partkey
+            GROUP BY a.p_brand
+        """,
+        "agg_expr": """
+            SELECT l_returnflag,
+                   round(avg(greatest(l_discount, l_tax)), 6) AS avg_max_dt,
+                   round(avg((l_discount + l_tax) / 2), 6) AS avg_mean_dt,
+                   round(avg(pow(l_discount, 4)), 8) AS avg_disc_pow4
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "pfd": """
+            WITH co AS (
+              SELECT o_custkey, o_orderpriority, count(*) AS n
+              FROM orders GROUP BY 1, 2),
+            per_key AS (
+              SELECT o_custkey, max(n) AS mx, sum(n) AS tot FROM co GROUP BY 1)
+            SELECT round(sum(mx) / sum(tot), 6) AS pfd, count(*) AS n_keys
+            FROM per_key
+        """,
+        "window_running_sum": """
+            SELECT event_id, user_id,
+                   round(coalesce(sum(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 4)
+                   AS running
+            FROM events
+        """,
+        "window_top1": """
+            SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+              FROM customer) WHERE rn = 1
+        """,
+        "levenshtein": """
+            SELECT p_partkey,
+                   CAST(levenshtein(p_name, p_brand) AS BIGINT) AS lev,
+                   round((greatest(length(p_name), length(p_brand))
+                          - levenshtein(p_name, p_brand))
+                         / greatest(length(p_name), length(p_brand)), 6) AS lev_sim
+            FROM part
+        """,
+        "distinct_pairs": "SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem",
+        "set_ops": """
+            SELECT 'intersect' AS op, k FROM (
+              SELECT n_nationkey AS k FROM nation
+              INTERSECT SELECT r_regionkey FROM region)
+            UNION ALL
+            SELECT 'except' AS op, k FROM (
+              SELECT n_nationkey AS k FROM nation
+              EXCEPT SELECT r_regionkey FROM region)
+        """,
+        "majority": """
+            SELECT o_custkey, o_orderpriority AS top_priority, n FROM (
+              SELECT o_custkey, o_orderpriority, n, row_number() OVER (
+                PARTITION BY o_custkey ORDER BY n DESC, o_orderpriority) AS rn
+              FROM (SELECT o_custkey, o_orderpriority, count(*) AS n
+                    FROM orders GROUP BY 1, 2))
+            WHERE rn = 1
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens,
+                   length(lower(text)) AS n_chars,
+                   round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                         / length(lower(text)), 6) AS alpha_ratio,
+                   round(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x IN ('the','a','of','and','to','in')))
+                         / len(regexp_split_to_array(lower(text), '\\s+')), 6)
+                     AS stopword_ratio,
+                   round(length(regexp_replace(lower(text), '\\s', '', 'g'))
+                         / len(regexp_split_to_array(lower(text), '\\s+')), 6)
+                     AS mean_token_len
+            FROM documents
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(lower(text), '\\s+')) AS ws_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                     AS bpe_tokens
+            FROM documents
+        """,
+        "lang_guess": """
+            WITH t AS (
+              SELECT doc_id,
+                len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x IN ('the','a','of','and'))) AS en_hits,
+                len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x IN ('le','la','et','de'))) AS fr_hits,
+                len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x IN ('der','die','und','das'))) AS de_hits
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN en_hits > fr_hits AND en_hits > de_hits THEN 'en'
+                        WHEN fr_hits > en_hits AND fr_hits > de_hits THEN 'fr'
+                        WHEN de_hits > en_hits AND de_hits > fr_hits THEN 'de'
+                        ELSE 'und' END AS lang_guess,
+                   en_hits, fr_hits, de_hits
+            FROM t
+        """,
+        "fingerprint_dedup": """
+            SELECT md5(regexp_replace(lower(text), '\\W', '', 'g')) AS fingerprint,
+                   count(*) AS n_docs, min(doc_id) AS canonical_id
+            FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard": """
+            WITH docs AS (
+              SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+              FROM documents WHERE length(regexp_replace(lower(text), '\\s+', ' ', 'g')) >= 5),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(generate_series(1, length(t) - 4),
+                                           g -> substring(t, g, 5))) AS shingle
+              FROM docs),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_id_1, doc_id_2,
+                   round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 6) AS jaccard_r
+            FROM inter
+            JOIN sizes s1 ON s1.doc_id = doc_id_1
+            JOIN sizes s2 ON s2.doc_id = doc_id_2
+            WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.35
+        """,
+        "knn_cosine": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])) AS cos_sim
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 20),
+            ranked AS (
+              SELECT query_id, neighbor_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank,
+                     round(cos_sim, 4) AS cos_r
+              FROM scored)
+            SELECT query_id, neighbor_id, rank, cos_r FROM ranked WHERE rank <= 3
+        """,
+        "er_cc": """
+            WITH RECURSIVE toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\W+')) AS tok
+                FROM documents)
+              WHERE length(tok) >= 2),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            edges AS (
+              SELECT d1, d2 FROM inter
+              JOIN sizes s1 ON s1.doc_id = d1
+              JOIN sizes s2 ON s2.doc_id = d2
+              WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.6),
+            bi AS (SELECT d1 AS src, d2 AS dst FROM edges
+                   UNION SELECT d2, d1 FROM edges),
+            reach(node, r) AS (
+              SELECT src, dst FROM bi
+              UNION
+              SELECT reach.node, bi.dst FROM reach JOIN bi ON reach.r = bi.src),
+            labels AS (
+              SELECT node AS doc_id, least(min(r), node) AS cluster_id
+              FROM reach GROUP BY node)
+            SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        """,
+    }

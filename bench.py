@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode:
+  1. times the headline queries at $SPARK_GRAFT_SF_DIR (default
+     /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
+  2. runs the ER pipeline on the deterministic synthetic corpus at TWO
+     parallelism levels (local[N] and local[4N], fresh JVM per run, min of
+     $SPARK_GRAFT_BENCH_REPS runs — the sandbox has noisy neighbors, so the
+     minimum wall is the cleanest capability estimator), computes docs/sec
+     and the N→4N scaling efficiency, and writes BENCH/BASELINE.md;
+  3. prints ONE JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
+
+Internal mode (fresh-JVM pipeline run):  bench.py --pipeline-run CORES NDOCS
+
+Notes on the parallelism levels: this host exposes 32 vCPUs over ~16
+physical cores (SMT) — raw CPU scaling measured at ~3.05×/4 from 8→32
+threads. The N→4N evidence pair is therefore local[4]→local[16], which stays
+within physical cores; both levels are also reported alongside local[32].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+
+
+def _pipeline_run(cores: int, n_docs: int) -> None:
+    """Child-process entry: one fresh-JVM ER pipeline run; prints JSON."""
+    from takco_spark.config import PipelineConfig
+    from takco_spark.datagen import synth_documents
+    from takco_spark.plans.pipeline import run_pipeline
+    from takco_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-{cores}", master=f"local[{cores}]")
+    docs = (
+        synth_documents(spark, n_docs, seed=42, partitions=cores * 4)
+        .select("doc_id", "spans")
+        .persist()
+    )
+    docs.count()  # materialize input before the clock starts
+    spark.range(10**6).count()  # JVM/codegen warmup
+    t0 = time.time()
+    res = run_pipeline(spark, docs, PipelineConfig())
+    res.components.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    print(json.dumps({"cores": cores, "n_docs": n_docs, "wall_s": wall}))
+    spark.stop()
+
+
+def _fresh_run(cores: int, n_docs: int) -> float:
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), "--pipeline-run",
+         str(cores), str(n_docs)],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)["wall_s"]
+
+
+def _time_headline_queries() -> dict[str, float]:
+    """Per-query wall seconds at SF_DIR on local[CPUS]."""
+    import __spark_entry__ as entrymod
+    from takco_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-queries", master=f"local[{CPUS}]")
+    spark.range(10**6).count()
+    headline = [
+        "er_pipeline_spans", "er_cc", "token_blocking", "ngram_jaccard",
+        "minhash_lsh_pairs", "simhash_pairs", "knn_cosine", "pricing_summary",
+        "window_running_sum", "pfd",
+    ]
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return out
+
+
+def _scaling() -> dict:
+    levels = [SCALE_N, SCALE_N * 4]
+    walls: dict[int, list[float]] = {c: [] for c in levels}
+    for _ in range(BENCH_REPS):
+        for c in levels:
+            walls[c].append(_fresh_run(c, BENCH_DOCS))
+    best = {c: min(ws) for c, ws in walls.items()}
+    dps = {c: BENCH_DOCS / w for c, w in best.items()}
+    eff = (dps[levels[1]] / dps[levels[0]]) / 4.0
+    return {
+        "n_docs": BENCH_DOCS,
+        "levels": levels,
+        "wall_s": {str(c): round(best[c], 2) for c in levels},
+        "all_walls": {str(c): [round(w, 2) for w in ws] for c, ws in walls.items()},
+        "docs_per_sec": {str(c): round(dps[c], 1) for c in levels},
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def _write_bench_md(scaling: dict, queries: dict[str, float]) -> None:
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    lo, hi = scaling["levels"]
+    md = f"""# BENCH — measured throughput & scaling
+
+## Two-parallelism scaling evidence (north-rule criterion)
+
+Same job (full ER pipeline: blocking → scoring → connected components), same
+deterministic input ({scaling['n_docs']} synthetic interleaved documents,
+seed 42), fresh JVM per run, minimum of {BENCH_REPS} runs per level (the
+sandbox shows ~3× noisy-neighbor variance; min wall estimates capability).
+
+| parallelism | wall (s) | docs/sec |
+|---|---|---|
+| local[{lo}] (N) | {scaling['wall_s'][str(lo)]} | {scaling['docs_per_sec'][str(lo)]} |
+| local[{hi}] (4N) | {scaling['wall_s'][str(hi)]} | {scaling['docs_per_sec'][str(hi)]} |
+
+**Scaling efficiency N→4N: {scaling['scaling_efficiency']}** (target ≥ 0.8;
+efficiency = (docs_per_sec[4N] / docs_per_sec[N]) / 4).
+
+All runs: {json.dumps(scaling['all_walls'])}
+
+Host note: 32 vCPUs over ~16 physical cores (SMT); pure-CPU scaling measured
+at ~3.05×/4 from 8→32 threads, so N=4 → 4N=16 keeps both levels on physical
+cores. On a real multi-executor cluster N and 4N are executor counts.
+
+## Headline query timings ({SF_DIR}, local[{CPUS}])
+
+| query | sec |
+|---|---|
+""" + "\n".join(f"| {k} | {v} |" for k, v in queries.items()) + "\n"
+    (bench_dir / "BASELINE.md").write_text(md)
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--pipeline-run":
+        _pipeline_run(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    queries = _time_headline_queries()
+    scaling = _scaling()
+    _write_bench_md(scaling, queries)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = -1.0
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_val,
+        "er_scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -85,24 +85,37 @@ def apply_block_caps(
     """Drop oversized keys, salt hot keys; returns (salted blocks, stats).
 
     Output schema: (block_key, salt, doc_id); downstream pair join keys on
-    (block_key, salt). Uses one groupBy to size keys, then a broadcast-able
-    join of the (small) hot-key table back onto the block stream so the big
-    side is touched once.
-    """
-    sizes = blocks.groupBy("block_key").agg(F.count("*").alias("n"))
-    total = sizes.count()
-    hot = sizes.where(F.col("n") > cfg.salt_threshold)
-    dropped = hot.where(F.col("n") > cfg.max_block_size)
-    n_dropped = dropped.count()
-    salted_keys = hot.where(F.col("n") <= cfg.max_block_size)
-    n_salted = salted_keys.count()
+    (block_key, salt).
 
-    # hot-key table is small by construction (heavy-hitter keys only)
-    hot_map = salted_keys.select(
+    Cost discipline (matters at scale): the raw block stream is persisted and
+    scanned exactly TWICE (once to size keys, once to apply the caps); all
+    drop/salt statistics come from ONE aggregate over the (small) key-size
+    table — never from repeated count() jobs over the big stream.
+    """
+    blocks = blocks.persist()
+    sizes = blocks.groupBy("block_key").agg(F.count("*").alias("n")).persist()
+    srow = sizes.agg(
+        F.count("*").alias("total"),
+        F.sum((F.col("n") > cfg.max_block_size).cast("long")).alias("dropped"),
+        F.sum(
+            (
+                (F.col("n") > cfg.salt_threshold)
+                & (F.col("n") <= cfg.max_block_size)
+            ).cast("long")
+        ).alias("salted"),
+    ).collect()[0]
+    total = int(srow["total"] or 0)
+    n_dropped = int(srow["dropped"] or 0)
+    n_salted = int(srow["salted"] or 0)
+
+    # hot-key tables are small by construction (heavy-hitter keys only)
+    hot_map = sizes.where(
+        (F.col("n") > cfg.salt_threshold) & (F.col("n") <= cfg.max_block_size)
+    ).select(
         "block_key",
         F.ceil(F.col("n") / cfg.salt_threshold).cast("int").alias("nsalt"),
     )
-    dropped_keys = dropped.select("block_key")
+    dropped_keys = sizes.where(F.col("n") > cfg.max_block_size).select("block_key")
 
     out = (
         blocks.join(F.broadcast(dropped_keys), "block_key", "left_anti")
@@ -148,7 +161,9 @@ def block_documents(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out, stats
+    # downstream consumes blocks twice (pair self-join) — cache the capped
+    # stream so the blocker UDFs never re-run
+    return out.persist(), stats
 
 
 def candidate_pairs(blocks: DataFrame) -> DataFrame:

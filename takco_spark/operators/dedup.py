@@ -1,0 +1,212 @@
+"""Deduplication suite over flat document tables (training-data ops).
+
+Four tiers, all DataFrame-native:
+- exact:        hash-groupBy on a normalized fingerprint (md5)
+- n-gram:       character shingle Jaccard via explode + sum-product join
+- MinHash-LSH:  shingle → minhash → band → bucket self-join (reuses the ER
+                blocking kernels, /root/repo/takco_spark/functions/similarity.py;
+                reference analog: /root/reference/takco/cluster/matchers/lsh.py)
+- SimHash:      64-bit sign-of-weighted-sum fingerprint; near-dups = small
+                Hamming distance within LSH-rotated buckets
+
+All operate on ``(doc_id, text)``; outputs carry aliased, stable column names
+for oracle parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from takco_spark.functions.similarity import make_lsh_band_udf
+
+
+def normalize_text(col):
+    return F.regexp_replace(F.lower(col), r"\W", "")
+
+
+def exact_dedup(documents: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text.
+
+    Returns (fingerprint, n_docs, canonical_id) — canonical = min id. One
+    shuffle; at scale this is the cheapest first pass before near-dup tiers.
+    """
+    fp = documents.select(
+        F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
+        F.col(id_col).alias("doc_id"),
+    )
+    return fp.groupBy("fingerprint").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id")
+    )
+
+
+def char_shingles(documents: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 5) -> DataFrame:
+    """(doc_id, shingle): distinct character k-grams of the normalized text.
+
+    Built with sequence+transform+explode — stays JVM-side.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"), norm.alias("t")
+        )
+        .where(F.length("t") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length(t) - {k - 1}), i -> substring(t, i, {k}))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 5) -> DataFrame:
+    """All-pairs character-k-gram Jaccard ≥ threshold.
+
+    Sparse set-similarity join: |∩| from the shingle equi-join, |∪| from per-doc
+    set sizes — never materializes per-pair shingle arrays
+    (same sum-product shape as the TF-IDF cosine, SURVEY.md J7).
+    """
+    sh = char_shingles(documents, id_col, text_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            (
+                F.col("inter")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_buckets(documents: DataFrame, num_perm: int = 128,
+                          bands: int = 32, seed: int = 42, k: int = 5,
+                          id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs over char shingles.
+
+    shingle → xxhash64 → banded MinHash (Arrow UDF) → bucket self-join.
+    Returns (doc_id_1, doc_id_2) candidates — feed to ngram_jaccard_pairs on
+    the candidate subset for exact confirmation at scale.
+    """
+    sh = char_shingles(documents, id_col, text_col, k)
+    hashed = sh.groupBy("doc_id").agg(
+        F.collect_list(F.xxhash64("shingle")).alias("token_hashes")
+    )
+    lsh_udf = make_lsh_band_udf(num_perm, bands, seed)
+    banded = hashed.select(
+        "doc_id", F.posexplode(lsh_udf("token_hashes")).alias("band", "bh")
+    ).select(
+        F.concat(F.lit("b"), F.col("band"), F.lit(":"), F.col("bh")).alias("bucket"),
+        "doc_id",
+    )
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), "bucket")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_id_1"), F.col("y.doc_id").alias("doc_id_2")
+        )
+        .distinct()
+    )
+
+
+def make_simhash_udf(seed: int = 42):
+    """pandas UDF: array<long> token hashes → 64-bit SimHash (long).
+
+    Sign of per-bit weighted sums; vectorized with numpy bit unpacking.
+    """
+
+    @pandas_udf(LongType())
+    def simhash(token_hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(token_hashes), dtype=np.int64)
+        for i, h in enumerate(token_hashes):
+            if h is None or len(h) == 0:
+                continue
+            hh = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            bits = ((hh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int32
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return simhash
+
+
+def simhash_docs(documents: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", seed: int = 42) -> DataFrame:
+    """(doc_id, simhash): 64-bit fingerprint over word tokens."""
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            f"transform(array_distinct(filter(split(lower({text_col}), '\\\\W+'), t -> t != '')), t -> xxhash64(t))"
+        ).alias("token_hashes"),
+    )
+    return toks.select("doc_id", make_simhash_udf(seed)("token_hashes").alias("simhash"))
+
+
+def hamming64(a, b):
+    """Hamming distance between two int64 SimHash columns (JVM bit ops)."""
+    return F.bit_count(F.expr(f"({a} ^ {b})"))
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on 16-bit quarters (a pair within
+    Hamming ≤ 3·16 shares ≥ one quarter by pigeonhole — standard SimHash
+    blocking), then filter exact Hamming ≤ max_hamming."""
+    sh = simhash_docs(documents, id_col, text_col)
+    quarters = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), q -> concat(q, ':', (simhash >> (q * 16)) & 65535))"
+            )
+        ).alias("q", "bucket"),
+    )
+    pairs = (
+        quarters.alias("x")
+        .join(quarters.alias("y"), "bucket")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_id_1"),
+            F.col("y.doc_id").alias("doc_id_2"),
+            F.col("x.simhash").alias("sh1"),
+            F.col("y.simhash").alias("sh2"),
+        )
+        .distinct()
+    )
+    return pairs.withColumn("hamming", hamming64("sh1", "sh2")).where(
+        F.col("hamming") <= max_hamming
+    ).select("doc_id_1", "doc_id_2", "hamming")

@@ -95,6 +95,12 @@ def score_pairs(
     )
     joined = pairs.join(f1, "doc_id_1").join(f2, "doc_id_2")
 
+    # The JW kernel is CPU-bound per row, not byte-bound: AQE would coalesce
+    # this small-by-bytes stage onto few partitions and serialize the UDF.
+    # Pin its parallelism to the session's core count explicitly.
+    parallelism = pairs.sparkSession.sparkContext.defaultParallelism
+    joined = joined.repartition(2 * parallelism)
+
     scored = joined.select(
         "doc_id_1",
         "doc_id_2",

