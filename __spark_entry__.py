@@ -287,6 +287,15 @@ def q_er_cc(spark, sf_dir):
 
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """Char-5-gram Jaccard with the frequent-shingle cap (the scale path —
+    rows-only: the cap makes it a lower-bound variant of ngram_jaccard)."""
+    df = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.35, k=5, max_df=200
+    )
+    return df.select("doc_id_1", "doc_id_2", F.round("jaccard", 6).alias("jaccard_r"))
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidate pairs (seeded permutations — no SQL
     twin; validated in pytest against exact shingle Jaccard)."""
@@ -335,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "er_cc": q_er_cc,
         # rows-only (no oracle possible: seeded-hash / pipeline internals)
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "er_pipeline_spans": q_er_pipeline_spans,

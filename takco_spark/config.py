@@ -46,6 +46,10 @@ class PipelineConfig:
     #: compute the TF-IDF cosine matcher (extra token join) — costs one more
     #: shuffle; off by default in the flagship config.
     use_tfidf: bool = False
+    #: Levenshtein early-exit: distances above MAX_NAME_LEN·frac floor the
+    #: similarity to 0 (JVM early-abandon — the lev DP is the scoring
+    #: hotspot). None = exact.
+    lev_max_dist_frac: float | None = 0.7
     # --- clustering ---------------------------------------------------------
     #: clusters larger than this are re-sliced (reference max_cluster_size,
     #: wikitables.toml:168 = 250; 0 disables).

@@ -59,8 +59,16 @@ _STOPWORDS = ["the", "data", "of", "table"]
 _KIND_CYCLE = ["header", "cell", "cell", "mention", "cell"]
 
 
-def _doc_tokens(i: int, n_dup: int, variants: int, seed: int) -> tuple[list[str], int]:
-    """Token list + true_entity for doc index i."""
+def _doc_tokens(i: int, n_dup: int, variants: int, seed: int,
+                extra_tokens: int = 0) -> tuple[list[str], int]:
+    """Token list + true_entity for doc index i.
+
+    ``extra_tokens`` appends that many filler words drawn from a medium
+    vocabulary (per-doc deterministic) — used by the bench corpus so per-doc
+    compute (minhash, jaccard arrays) resembles real documents rather than
+    4-token stubs. Fillers are doc-specific enough not to create new
+    cross-entity blocking collisions beyond the stop-word ones.
+    """
     if i < n_dup:
         entity = i // variants
         variant = i % variants
@@ -72,10 +80,22 @@ def _doc_tokens(i: int, n_dup: int, variants: int, seed: int) -> tuple[list[str]
         elif variant >= 3:
             base = base[:2] + base[3:]  # token drop
         toks = base
+        filler_key = entity  # fillers shared within entity → jaccard intact
     else:
         entity = 1_000_000_000 + i
         toks = [_word(_mix(seed, 7, i, j)) for j in range(4)] + [f"nz{i}"]
         variant = 0
+        filler_key = 10_000_019 + i
+    if extra_tokens:
+        # fillers carry a wide numeric suffix so the filler vocabulary is
+        # effectively unique per entity: they add per-doc compute (arrays,
+        # minhash) WITHOUT adding cross-entity blocking collisions — the
+        # stop-words alone exercise hot keys
+        toks = toks + [
+            _word(_mix(seed, 23, filler_key, j))
+            + str(_mix(seed, 29, filler_key, j) % 99991)
+            for j in range(extra_tokens)
+        ]
     # two stop-words per doc → guaranteed hot blocking keys at any scale.
     # Dup docs draw them per-ENTITY (variant token sets stay high-Jaccard);
     # noise docs draw per-doc.
@@ -85,11 +105,12 @@ def _doc_tokens(i: int, n_dup: int, variants: int, seed: int) -> tuple[list[str]
     return toks, entity
 
 
-def _make_rows(ids: pd.Series, n_dup: int, variants: int, seed: int) -> pd.DataFrame:
+def _make_rows(ids: pd.Series, n_dup: int, variants: int, seed: int,
+               extra_tokens: int = 0) -> pd.DataFrame:
     doc_ids, spans_col, entities = [], [], []
     for i in ids:
         i = int(i)
-        toks, entity = _doc_tokens(i, n_dup, variants, seed)
+        toks, entity = _doc_tokens(i, n_dup, variants, seed, extra_tokens)
         spans = [
             {
                 "kind": _KIND_CYCLE[j % len(_KIND_CYCLE)],
@@ -122,6 +143,7 @@ def synth_documents(
     variants: int = 3,
     seed: int = 42,
     partitions: int | None = None,
+    extra_tokens: int = 0,
 ) -> DataFrame:
     """Distributed deterministic corpus: (doc_id, spans, true_entity).
 
@@ -134,7 +156,7 @@ def synth_documents(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _make_rows(pdf["id"], n_dup, variants, seed)
+            yield _make_rows(pdf["id"], n_dup, variants, seed, extra_tokens)
 
     return base.mapInPandas(gen, schema=schema)
 

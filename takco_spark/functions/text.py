@@ -65,8 +65,9 @@ def digit_mask(col: Column | str) -> Column:
     (``\\d → $`` and money regex → literal token).
     """
     c = F.col(col) if isinstance(col, str) else col
-    money = F.regexp_replace(c, r"^[$€£]\s?[\d.,]+$|^[\d.,]+\s?[$€£]$", "$MONEY$")
-    return F.regexp_replace(money, r"\d", "$")
+    # '$' is a group reference in Java replacement strings — escape it
+    money = F.regexp_replace(c, r"^[$€£]\s?[\d.,]+$|^[\d.,]+\s?[$€£]$", r"\$MONEY\$")
+    return F.regexp_replace(money, r"\d", r"\$")
 
 
 def normalize_surface(col: Column | str) -> Column:
@@ -105,11 +106,26 @@ def jaccard_tokens(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
-def levenshtein_sim(a: Column, b: Column) -> Column:
+def levenshtein_sim(a: Column, b: Column, max_dist_frac: float | None = None) -> Column:
     """Normalized Levenshtein similarity ``(m - dist) / m``, m = max length.
 
     Reference: /root/reference/takco/link/types.py:195-201. Uses the built-in
     JVM ``levenshtein`` — no Python in the hot path.
+
+    ``max_dist`` enables the thresholded variant (Spark 3.5+, int-only
+    threshold): distances above it early-exit and score 0.0 — a similarity
+    floor, sound whenever downstream only consumes sims above
+    ``1 - max_dist/m`` (the pair-scoring hot path does; see PipelineConfig).
     """
     m = F.greatest(F.length(a), F.length(b))
-    return F.when(m > 0, (m - F.levenshtein(a, b)) / m).otherwise(F.lit(1.0))
+    if max_dist_frac is None:
+        return F.when(m > 0, (m - F.levenshtein(a, b)) / m).otherwise(F.lit(1.0))
+    from takco_spark.spans import MAX_NAME_LEN
+
+    max_dist = max(1, int(MAX_NAME_LEN * float(max_dist_frac)))
+    d = F.levenshtein(a, b, max_dist)
+    return (
+        F.when(m == 0, F.lit(1.0))
+        .when(d < 0, F.lit(0.0))
+        .otherwise((m - d) / m)
+    )

@@ -72,17 +72,31 @@ def char_shingles(documents: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        k: int = 5) -> DataFrame:
+                        k: int = 5, max_df: int | None = None) -> DataFrame:
     """All-pairs character-k-gram Jaccard ≥ threshold.
 
     Sparse set-similarity join: |∩| from the shingle equi-join, |∪| from per-doc
     set sizes — never materializes per-pair shingle arrays
     (same sum-product shape as the TF-IDF cosine, SURVEY.md J7).
+
+    Scale guard: the equi-join costs Σ_shingle df² — on corpora with shared
+    vocabulary that is quadratic. ``max_df`` drops shingles occurring in more
+    than that many docs from the JOIN (|∪| still counts them, so Jaccard is a
+    lower bound — pairs whose overlap is only stop-shingles are the ones
+    skipped). None = exact all-pairs semantics (used by the DuckDB oracle).
     """
     sh = char_shingles(documents, id_col, text_col, k)
+    if max_df is not None:
+        sh = sh.persist()
+        hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(
+            F.col("df") > max_df
+        ).select("shingle")
+        sh_join = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        sh_join = sh
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+    a = sh_join.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+    b = sh_join.select(F.col("doc_id").alias("doc_id_2"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("doc_id_1") < F.col("doc_id_2"))
@@ -106,14 +120,58 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
     )
 
 
+def _bounded_bucket_pairs(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Self-join (bucket, doc_id) → canonical candidate pairs, with oversized
+    buckets dropped first (the no-silent-caps rule: callers surface the count
+    via :func:`bucket_cap_stats` when they need the diagnostic)."""
+    if max_bucket_size is not None:
+        banded = banded.persist()
+        hot = (
+            banded.groupBy("bucket").agg(F.count("*").alias("n"))
+            .where(F.col("n") > max_bucket_size)
+            .select("bucket")
+        )
+        banded = banded.join(F.broadcast(hot), "bucket", "left_anti")
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), "bucket")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_id_1"), F.col("y.doc_id").alias("doc_id_2")
+        )
+        .distinct()
+    )
+
+
+def bucket_cap_stats(banded: DataFrame, max_bucket_size: int) -> dict:
+    """Count buckets/rows excluded by a bucket cap — logged by pipelines that
+    apply caps (reference analog: blocking reduction logging,
+    /root/reference/takco/cluster/cluster.py:385-390)."""
+    row = (
+        banded.groupBy("bucket").agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("buckets"),
+            F.sum((F.col("n") > max_bucket_size).cast("long")).alias("dropped_buckets"),
+            F.sum(F.when(F.col("n") > max_bucket_size, F.col("n")).otherwise(0)).alias(
+                "dropped_rows"
+            ),
+        )
+        .collect()[0]
+    )
+    return {k: int(row[k] or 0) for k in ("buckets", "dropped_buckets", "dropped_rows")}
+
+
 def minhash_dedup_buckets(documents: DataFrame, num_perm: int = 128,
                           bands: int = 32, seed: int = 42, k: int = 5,
-                          id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                          id_col: str = "doc_id", text_col: str = "text",
+                          max_bucket_size: int | None = 500) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs over char shingles.
 
     shingle → xxhash64 → banded MinHash (Arrow UDF) → bucket self-join.
     Returns (doc_id_1, doc_id_2) candidates — feed to ngram_jaccard_pairs on
-    the candidate subset for exact confirmation at scale.
+    the candidate subset for exact confirmation at scale. Buckets above
+    ``max_bucket_size`` are dropped (they are near-global shingle profiles —
+    quadratic pair mass for near-zero dedup value); None disables.
     """
     sh = char_shingles(documents, id_col, text_col, k)
     hashed = sh.groupBy("doc_id").agg(
@@ -126,15 +184,7 @@ def minhash_dedup_buckets(documents: DataFrame, num_perm: int = 128,
         F.concat(F.lit("b"), F.col("band"), F.lit(":"), F.col("bh")).alias("bucket"),
         "doc_id",
     )
-    return (
-        banded.alias("x")
-        .join(banded.alias("y"), "bucket")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_id_1"), F.col("y.doc_id").alias("doc_id_2")
-        )
-        .distinct()
-    )
+    return _bounded_bucket_pairs(banded, max_bucket_size)
 
 
 def make_simhash_udf(seed: int = 42):
@@ -181,10 +231,12 @@ def hamming64(a, b):
 
 
 def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8,
-                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                       id_col: str = "doc_id", text_col: str = "text",
+                       max_bucket_size: int | None = 500) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on 16-bit quarters (a pair within
     Hamming ≤ 3·16 shares ≥ one quarter by pigeonhole — standard SimHash
-    blocking), then filter exact Hamming ≤ max_hamming."""
+    blocking), then filter exact Hamming ≤ max_hamming. Oversized buckets
+    dropped as in :func:`minhash_dedup_buckets`."""
     sh = simhash_docs(documents, id_col, text_col)
     quarters = sh.select(
         "doc_id",
@@ -195,18 +247,14 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8,
             )
         ).alias("q", "bucket"),
     )
-    pairs = (
-        quarters.alias("x")
-        .join(quarters.alias("y"), "bucket")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_id_1"),
-            F.col("y.doc_id").alias("doc_id_2"),
-            F.col("x.simhash").alias("sh1"),
-            F.col("y.simhash").alias("sh2"),
-        )
-        .distinct()
+    banded = quarters.select("bucket", "doc_id")
+    pairs = _bounded_bucket_pairs(banded, max_bucket_size)
+    sh1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("sh1"))
+    sh2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("sh2"))
+    return (
+        pairs.join(sh1, "doc_id_1")
+        .join(sh2, "doc_id_2")
+        .withColumn("hamming", hamming64("sh1", "sh2"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_id_1", "doc_id_2", "hamming")
     )
-    return pairs.withColumn("hamming", hamming64("sh1", "sh2")).where(
-        F.col("hamming") <= max_hamming
-    ).select("doc_id_1", "doc_id_2", "hamming")

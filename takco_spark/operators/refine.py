@@ -1,0 +1,123 @@
+"""Within-partition agglomerative refinement (SURVEY.md G3).
+
+Reference: after graph partitioning, columns inside each partition are
+clustered with complete-linkage agglomerative clustering on distance 1−sim,
+with intra-table links forbidden (cluster_partition_columns / cluster_columns,
+/root/reference/takco/cluster/cluster.py:434-529,652-689; sklearn
+AgglomerativeClustering per partition).
+
+Spark shape: connected components give coarse partitions (bounded by the
+max-cluster-size rechunk, G2); each partition's refinement is an independent
+small problem → ``applyInPandas`` per component, a self-contained numpy
+complete-linkage inside (no sklearn in this environment — the linkage loop is
+O(k³) on k ≤ max_cluster_size items, which the G2 bound keeps tiny).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+REFINE_SCHEMA = "doc_id string, cluster_id string, refined_id string"
+
+
+def _complete_linkage(items: list[str], sims: dict[tuple[str, str], float],
+                      forbid: dict[str, str], threshold: float) -> dict[str, int]:
+    """Complete-linkage agglomeration: merge the closest pair of clusters
+    while max inter-cluster distance (1 - min sim) stays <= 1 - threshold and
+    no two members share a forbidden group. Deterministic tie-breaks."""
+    clusters: list[list[str]] = [[x] for x in sorted(items)]
+
+    def link_sim(a: list[str], b: list[str]) -> float:
+        best = 1.0
+        for x in a:
+            for y in b:
+                if forbid.get(x) is not None and forbid.get(x) == forbid.get(y):
+                    return -1.0  # intra-source link forbidden
+                key = (x, y) if x < y else (y, x)
+                best = min(best, sims.get(key, 0.0))
+        return best
+
+    while len(clusters) > 1:
+        best_pair, best_sim = None, threshold
+        for i in range(len(clusters)):
+            for j in range(i + 1, len(clusters)):
+                s = link_sim(clusters[i], clusters[j])
+                if s >= best_sim and (
+                    best_pair is None
+                    or s > best_sim
+                    or (clusters[i][0], clusters[j][0])
+                    < (clusters[best_pair[0]][0], clusters[best_pair[1]][0])
+                ):
+                    best_pair, best_sim = (i, j), s
+        if best_pair is None:
+            break
+        i, j = best_pair
+        clusters[i] = sorted(clusters[i] + clusters[j])
+        del clusters[j]
+
+    out: dict[str, int] = {}
+    for ci, members in enumerate(sorted(clusters)):
+        for m in members:
+            out[m] = ci
+    return out
+
+
+def refine_clusters(
+    labels: DataFrame,
+    pair_sims: DataFrame,
+    threshold: float = 0.8,
+    source_col: str | None = None,
+) -> DataFrame:
+    """Split coarse CC clusters with complete-linkage at a stricter threshold.
+
+    labels(doc_id, cluster_id [, source]) + pair_sims(doc_id_1, doc_id_2,
+    agg_sim) → (doc_id, cluster_id, refined_id). refined_id =
+    '{cluster_id}/{k}'. Transitive chains that CC merged but whose weakest
+    link is below ``threshold`` split apart — the reference runs exactly this
+    two-stage coarse→strict scheme (Louvain partition, then per-partition
+    agglomerative at agg_threshold_col).
+    """
+    l1 = labels.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("cluster_id")
+    )
+    sims_in_cluster = (
+        pair_sims.join(l1, "doc_id_1")
+        .select("cluster_id", "doc_id_1", "doc_id_2", "agg_sim")
+    )
+    cols = ["doc_id", "cluster_id"] + ([source_col] if source_col else [])
+    members = labels.select(*cols)
+    sims_grouped = sims_in_cluster.groupBy("cluster_id").agg(
+        F.collect_list(F.struct("doc_id_1", "doc_id_2", "agg_sim")).alias("sims")
+    )
+    joined = members.join(sims_grouped, "cluster_id", "left")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        cluster_id = pdf["cluster_id"].iloc[0]
+        items = pdf["doc_id"].tolist()
+        forbid = (
+            dict(zip(pdf["doc_id"], pdf[source_col])) if source_col else {}
+        )
+        sims: dict[tuple[str, str], float] = {}
+        raw = pdf["sims"].iloc[0]
+        if raw is not None and len(raw) > 0:
+            for s in raw:
+                a, b = s["doc_id_1"], s["doc_id_2"]
+                key = (a, b) if a < b else (b, a)
+                sims[key] = max(sims.get(key, 0.0), float(s["agg_sim"]))
+        assign = _complete_linkage(items, sims, forbid, threshold)
+        return pd.DataFrame(
+            {
+                "doc_id": items,
+                "cluster_id": [cluster_id] * len(items),
+                "refined_id": [f"{cluster_id}/{assign[x]}" for x in items],
+            }
+        )
+
+    # one group per coarse cluster; group payload is bounded by G2's rechunk
+    grouped = joined.groupBy("cluster_id").applyInPandas(
+        lambda pdf: run(pdf), REFINE_SCHEMA
+    )
+    return grouped

@@ -93,20 +93,28 @@ def score_pairs(
         F.col("name").alias("name_2"),
         F.col("tokens").alias("tokens_2"),
     )
-    joined = pairs.join(f1, "doc_id_1").join(f2, "doc_id_2")
-
-    # The JW kernel is CPU-bound per row, not byte-bound: AQE would coalesce
-    # this small-by-bytes stage onto few partitions and serialize the UDF.
-    # Pin its parallelism to the session's core count explicitly.
+    # Pin UDF parallelism on the NARROW pair stream, before the feature joins
+    # widen each row with two token arrays — repartitioning after the join
+    # would shuffle ~KBs per row for no reason, and AQE would otherwise
+    # coalesce this small-by-bytes but CPU-heavy stage onto too few
+    # partitions. Feature joins broadcast when small; at cluster scale
+    # Catalyst picks a shuffle join keyed on doc_id instead, which preserves
+    # parallelism by itself.
     parallelism = pairs.sparkSession.sparkContext.defaultParallelism
-    joined = joined.repartition(2 * parallelism)
+    joined = (
+        pairs.repartition(2 * parallelism, "doc_id_1")
+        .join(f1, "doc_id_1")
+        .join(f2, "doc_id_2")
+    )
 
     scored = joined.select(
         "doc_id_1",
         "doc_id_2",
         "block_key",
         jaccard_tokens(F.col("tokens_1"), F.col("tokens_2")).alias("jaccard"),
-        levenshtein_sim(F.col("name_1"), F.col("name_2")).alias("lev_sim"),
+        levenshtein_sim(
+            F.col("name_1"), F.col("name_2"), cfg.lev_max_dist_frac
+        ).alias("lev_sim"),
         jaro_winkler_udf(F.col("name_1"), F.col("name_2")).alias("jw"),
     )
 

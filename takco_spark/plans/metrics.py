@@ -93,6 +93,35 @@ def labeled_pairs_f1(pred: DataFrame, labeled_pairs: DataFrame) -> PRF1:
     return PRF1(tp=float(agg["tp"] or 0), fp=float(agg["fp"] or 0), fn=float(agg["fn"] or 0))
 
 
+def novelty_counts(kinds: DataFrame, gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """A12 — novelty counting by set algebra, join-based.
+
+    Reference (/root/reference/takco/evaluate/novelty.py:61-96): per novelty
+    kind with triple-hash set hs, gold set gs, predicted set ps:
+    tp = |hs∩gs∩ps|, fn = |hs∩gs−ps|, fp = |hs∩ps−gs|.
+
+    Inputs: kinds(item_id, kind) — kind membership; gold(item_id);
+    pred(item_id). Output: (kind, tp, fp, fn) — conditional counts after two
+    left-semi-style flags, one aggregation.
+    """
+    g = gold.select(F.col("item_id").alias("item_id"), F.lit(True).alias("in_gold"))
+    p = pred.select(F.col("item_id").alias("item_id"), F.lit(True).alias("in_pred"))
+    flagged = (
+        kinds.join(g, "item_id", "left")
+        .join(p, "item_id", "left")
+        .select(
+            "kind",
+            F.coalesce("in_gold", F.lit(False)).alias("in_gold"),
+            F.coalesce("in_pred", F.lit(False)).alias("in_pred"),
+        )
+    )
+    return flagged.groupBy("kind").agg(
+        F.sum((F.col("in_gold") & F.col("in_pred")).cast("long")).alias("tp"),
+        F.sum((~F.col("in_gold") & F.col("in_pred")).cast("long")).alias("fp"),
+        F.sum((F.col("in_gold") & ~F.col("in_pred")).cast("long")).alias("fn"),
+    )
+
+
 def block_stats(blocks: DataFrame) -> dict:
     """Block-size distribution + candidate-pair reduction factor — the
     reference logs worstcase/total as its blocking diagnostic

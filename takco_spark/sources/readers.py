@@ -23,15 +23,22 @@ def read_documents_jsonl(spark: SparkSession, path: str,
     the reference's skip-bad-lines loader; ``keep_corrupt=True`` retains them
     for a quarantine sink, else they are dropped with a count available via
     ``where _corrupt is not null`` upstream."""
-    df = (
-        spark.read.schema(DOCUMENT_SCHEMA + ", _corrupt string")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt")
+    if keep_corrupt:
+        # PERMISSIVE + corrupt capture. Spark caveat: a query referencing ONLY
+        # the corrupt column must run on a materialized cache of this frame.
+        return (
+            spark.read.schema(DOCUMENT_SCHEMA + ", _corrupt string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .json(path)
+        )
+    # skip-bad-lines path (the reference's robust loader): DROPMALFORMED keeps
+    # the scan fully prunable (no corrupt-column analysis restriction)
+    return (
+        spark.read.schema(DOCUMENT_SCHEMA)
+        .option("mode", "DROPMALFORMED")
         .json(path)
     )
-    if keep_corrupt:
-        return df
-    return df.where(F.col("_corrupt").isNull()).drop("_corrupt")
 
 
 def write_documents_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:

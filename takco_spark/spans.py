@@ -71,11 +71,23 @@ def explode_spans(documents: DataFrame) -> DataFrame:
     )
 
 
-def doc_text_features(documents: DataFrame, min_token_len: int = 2) -> DataFrame:
+#: comparison-surface cap: string similarity (Levenshtein is O(len²) per
+#: pair!) runs on the first MAX_NAME_LEN chars of the span text stream; the
+#: token set still covers the whole document, so recall lives in the
+#: set-level signals. Without this cap, one long-document pair costs
+#: millions of DP cells inside the JVM levenshtein. Matches the Jaro-Winkler
+#: kernel cap (functions.similarity.MAX_JW_LEN) so both string matchers see
+#: the same surface.
+MAX_NAME_LEN = 64
+
+
+def doc_text_features(documents: DataFrame, min_token_len: int = 2,
+                      max_name_len: int = MAX_NAME_LEN) -> DataFrame:
     """Per-document text features used by blocking and scoring:
 
     - ``name``:   all non-media span texts joined in span (offset) order —
-      the comparable surface string (analog of a table's cell text stream);
+      the comparable surface string (analog of a table's cell text stream),
+      capped at ``max_name_len`` chars (see MAX_NAME_LEN);
     - ``tokens``: distinct lowercased tokens of the non-media spans, length
       >= min_token_len (tokenization per takco's default_tokenize,
       /root/reference/takco/cluster/matchers/matcher.py:23-26: lowercase,
@@ -92,13 +104,35 @@ def doc_text_features(documents: DataFrame, min_token_len: int = 2) -> DataFrame
     return documents.select(
         "doc_id",
         F.expr(
-            f"array_join(transform({ordered}, s -> s.text), ' ')"
+            f"substring(array_join(transform({ordered}, s -> s.text), ' '), 1, {int(max_name_len)})"
         ).alias("name"),
         F.expr(
             f"""array_distinct(filter(
                   flatten(transform({ordered}, s -> split(lower(s.text), '\\\\W+'))),
                   t -> length(t) >= {int(min_token_len)}))"""
         ).alias("tokens"),
+    )
+
+
+def span_slice(spans_col: str, start: int, end: int) -> "F.Column":
+    """F16: slice a span sequence by offset range [start, end) with offsets
+    re-based — the LinkedString slice semantics
+    (/root/reference/takco/linkedstring.py:51-69: kept links shift by the
+    slice start)."""
+    return F.expr(
+        f"transform(filter({spans_col}, s -> s.offset >= {int(start)} AND s.offset < {int(end)}),"
+        f" s -> struct(s.kind as kind, s.text as text, s.media_ref as media_ref,"
+        f" cast(s.offset - {int(start)} as int) as offset))"
+    )
+
+
+def span_concat(a: str, b: str) -> "F.Column":
+    """F16: concatenate two span sequences, offset-shifting the right side by
+    the left's length (LinkedString.__add__ semantics,
+    /root/reference/takco/linkedstring.py:71-88)."""
+    return F.expr(
+        f"concat({a}, transform({b}, s -> struct(s.kind as kind, s.text as text,"
+        f" s.media_ref as media_ref, cast(s.offset + size({a}) as int) as offset)))"
     )
 
 

@@ -1,0 +1,119 @@
+"""TF-IDF cosine scoring (J7), ANN search (J3), MinHash estimate, streaming
+ingestion."""
+
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from takco_spark.operators import similarity_search
+from takco_spark.operators.scoring import tfidf_cosine_for_pairs, tfidf_weights
+
+
+def test_tfidf_cosine_matches_manual(spark):
+    feats = spark.createDataFrame(
+        [("d1", ["apple", "banana", "cherry"]),
+         ("d2", ["apple", "banana", "durian"]),
+         ("d3", ["zebra", "yak"])],
+        ["doc_id", "tokens"],
+    )
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d1", "d3")], ["doc_id_1", "doc_id_2"]
+    )
+    w = tfidf_weights(feats)
+    out = {(r["doc_id_1"], r["doc_id_2"]): r["tfidf_cos"]
+           for r in tfidf_cosine_for_pairs(pairs, w).collect()}
+
+    # manual recomputation with the same smooth-idf formula
+    n = 3
+    df = {"apple": 2, "banana": 2, "cherry": 1, "durian": 1, "zebra": 1, "yak": 1}
+    def vec(tokens):
+        v = {t: math.log((n + 1) / (df[t] + 1)) + 1 for t in tokens}
+        norm = math.sqrt(sum(x * x for x in v.values()))
+        return {t: x / norm for t, x in v.items()}
+    v1, v2 = vec(["apple", "banana", "cherry"]), vec(["apple", "banana", "durian"])
+    expected = sum(v1[t] * v2[t] for t in set(v1) & set(v2))
+    assert out[("d1", "d2")] == pytest.approx(expected)
+    assert ("d1", "d3") not in out  # no shared tokens → no row (sparse join)
+
+
+def test_knn_brute_force_exact(spark):
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = similarity_search.knn_brute_force(df.where("vec_id = 0"), df, k=2)
+    rows = sorted((r["rank"], r["neighbor_id"]) for r in out.collect())
+    assert rows == [(1, 1), (2, 2)]
+
+
+def test_knn_lsh_recall_vs_brute(spark):
+    import numpy as np
+    rng = np.random.RandomState(5)
+    base = rng.normal(size=(40, 16))
+    # plant: vec i+40 = small perturbation of vec i (high cosine)
+    vecs = [(i, base[i].tolist()) for i in range(40)]
+    vecs += [(i + 40, (base[i] + rng.normal(scale=0.05, size=16)).tolist())
+             for i in range(10)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"]).persist()
+    queries = df.where("vec_id < 10")
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in similarity_search.knn_brute_force(queries, df, k=1).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in similarity_search.knn_lsh(queries, df, k=1, n_bits=6).collect()}
+    # top-1 is the planted twin; LSH with 4 tables must recall most of them
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.8, (recall, brute - approx)
+
+
+def test_minhash_estimate_column(spark):
+    from takco_spark.functions.similarity import make_minhash_signature_udf, minhash_estimate
+    df = spark.createDataFrame(
+        [("a", ["x", "y", "z", "w"]), ("b", ["x", "y", "z", "q"])],
+        ["doc_id", "tokens"],
+    )
+    sig = df.select(
+        "doc_id",
+        make_minhash_signature_udf(256, 42)(
+            F.expr("transform(tokens, t -> xxhash64(t))")
+        ).alias("sig"),
+    )
+    a = sig.where("doc_id = 'a'").select(F.col("sig").alias("sig_a"))
+    b = sig.where("doc_id = 'b'").select(F.col("sig").alias("sig_b"))
+    est = a.crossJoin(b).select(
+        minhash_estimate(F.col("sig_a"), F.col("sig_b")).alias("j")
+    ).collect()[0]["j"]
+    assert est == pytest.approx(3 / 5, abs=0.15)  # true Jaccard 0.6
+
+
+def test_streaming_ingest_exactly_once(spark, tmp_path):
+    from takco_spark.streaming import ingest_documents_stream
+
+    landing = tmp_path / "landing"
+    bronze = tmp_path / "bronze"
+    ck = tmp_path / "ck"
+    os.makedirs(landing)
+
+    def write_batch(name, ids):
+        with open(landing / name, "w") as f:
+            for i in ids:
+                f.write(json.dumps({
+                    "doc_id": f"d{i}",
+                    "spans": [{"kind": "cell", "text": f"t{i}",
+                               "media_ref": "", "offset": 0}],
+                }) + "\n")
+
+    write_batch("b1.jsonl", range(5))
+    q = ingest_documents_stream(spark, str(landing), str(bronze), str(ck))
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(bronze)).count() == 5
+
+    # restart with new backlog: old file NOT re-ingested, new one appended
+    write_batch("b2.jsonl", range(5, 8))
+    q2 = ingest_documents_stream(spark, str(landing), str(bronze), str(ck))
+    q2.awaitTermination(120)
+    got = spark.read.parquet(str(bronze))
+    assert got.count() == 8
+    assert got.select("doc_id").distinct().count() == 8
