@@ -59,18 +59,14 @@ def _pipeline_run(cores: int, n_docs: int) -> None:
     # Python-worker pool warmup: fork + numpy/pandas import on every core
     # BEFORE the clock — a cluster in steady state has warm workers; a fresh
     # JVM otherwise charges ~10s of forks to whatever stage first uses a UDF.
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import LongType
-
-    @pandas_udf(LongType())
-    def _warm(x: pd.Series) -> pd.Series:
-        import numpy as np
-        return x + int(np.int64(0))
-
     from pyspark.sql import functions as F
+
+    from takco_spark.functions.similarity import jaro_winkler_udf
+
     spark.range(cores * 1000, numPartitions=cores * 2).select(
-        _warm(F.col("id")).alias("w")
+        jaro_winkler_udf(
+            F.col("id").cast("string"), F.col("id").cast("string")
+        ).alias("w")
     ).agg(F.sum("w")).collect()
     t0 = time.time()
     res = run_pipeline(spark, docs, PipelineConfig())
@@ -87,8 +83,13 @@ def _fresh_run(cores: int, n_docs: int) -> float:
          str(cores), str(n_docs)],
         capture_output=True, text=True, env=env, timeout=900,
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)["wall_s"]
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"pipeline-run cores={cores} produced no result; stderr tail:\n"
+            + "\n".join(out.stderr.splitlines()[-15:])
+        )
+    return json.loads(lines[-1])["wall_s"]
 
 
 def _time_headline_queries() -> dict[str, float]:
