@@ -142,25 +142,78 @@ def apply_block_caps(
 def block_documents(
     features: DataFrame, cfg: PipelineConfig
 ) -> tuple[DataFrame, list[BlockingStats]]:
-    """Run the configured blockers and union their capped key streams.
+    """Run the configured blockers and cap the UNION of their key streams.
 
     Returns (blocks(block_key, salt, doc_id), per-blocker stats).
+
+    The blockers' key namespaces are disjoint ('tok:…' vs 'lsh<band>:…'), so
+    one cap pass over the union is semantically identical to per-blocker
+    passes but pays the sizes-groupBy / stats-collect / cap-join ONCE —
+    fixed-cost discipline that matters both for tiny-corpus latency and for
+    job-count at cluster scale. Per-blocker stats come from a single grouped
+    aggregate over the (small) key-size table.
     """
-    stats: list[BlockingStats] = []
     parts: list[DataFrame] = []
     for blocker in cfg.blockers:
         if blocker == "token":
-            raw = token_blocks(features, cfg)
+            parts.append(token_blocks(features, cfg))
         elif blocker == "minhash":
-            raw = minhash_blocks(features, cfg)
+            parts.append(minhash_blocks(features, cfg))
         else:
             raise ValueError(f"unknown blocker {blocker!r}")
-        capped, st = apply_block_caps(raw, cfg, blocker)
-        parts.append(capped)
-        stats.append(st)
-    out = parts[0]
+    raw = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        raw = raw.unionByName(p)
+
+    raw = raw.persist()
+    sizes = raw.groupBy("block_key").agg(F.count("*").alias("n")).persist()
+    blocker_of = F.when(
+        F.col("block_key").startswith("tok:"), F.lit("token")
+    ).otherwise(F.lit("minhash"))
+    srows = (
+        sizes.groupBy(blocker_of.alias("blocker"))
+        .agg(
+            F.count("*").alias("total"),
+            F.sum((F.col("n") > cfg.max_block_size).cast("long")).alias("dropped"),
+            F.sum(
+                (
+                    (F.col("n") > cfg.salt_threshold)
+                    & (F.col("n") <= cfg.max_block_size)
+                ).cast("long")
+            ).alias("salted"),
+        )
+        .collect()
+    )
+    stats = [
+        BlockingStats(
+            blocker=r["blocker"],
+            total_keys=int(r["total"] or 0),
+            dropped_keys=int(r["dropped"] or 0),
+            salted_keys=int(r["salted"] or 0),
+            candidate_rows=-1,
+        )
+        for r in srows
+    ]
+
+    hot_map = sizes.where(
+        (F.col("n") > cfg.salt_threshold) & (F.col("n") <= cfg.max_block_size)
+    ).select(
+        "block_key",
+        F.ceil(F.col("n") / cfg.salt_threshold).cast("int").alias("nsalt"),
+    )
+    dropped_keys = sizes.where(F.col("n") > cfg.max_block_size).select("block_key")
+    out = (
+        raw.join(F.broadcast(dropped_keys), "block_key", "left_anti")
+        .join(F.broadcast(hot_map), "block_key", "left")
+        .select(
+            "block_key",
+            F.when(
+                F.col("nsalt").isNotNull(),
+                F.pmod(F.xxhash64("doc_id"), F.col("nsalt")).cast("int"),
+            ).otherwise(F.lit(0)).alias("salt"),
+            "doc_id",
+        )
+    )
     # downstream consumes blocks twice (pair self-join) — cache the capped
     # stream so the blocker UDFs never re-run
     return out.persist(), stats

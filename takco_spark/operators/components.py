@@ -51,12 +51,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     mins = nbrs.groupBy("src").agg(F.min("dst").alias("mn")).select(
         "src", F.least(F.col("src"), F.col("mn")).alias("m")
     )
+    # no distinct here: duplicates are harmless to small-star's min-agg and
+    # are removed by its output distinct — saves one shuffle per round
     return (
         nbrs.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
