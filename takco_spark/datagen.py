@@ -33,10 +33,16 @@ _SYLLABLES = [c + v for c in "bdfgklmnprstvz" for v in "aeiou"]  # 70 syllables
 
 
 def _word(h: int) -> str:
-    """Deterministic pseudo-word from an integer."""
+    """Deterministic pseudo-word from an integer.
+
+    4 syllables → ~24M-word vocabulary: large enough that accidental token
+    sharing between unrelated docs stays negligible at bench scales (a 343k
+    vocabulary made candidate mass grow ~n²/|V| — mid-frequency tokens that
+    the hot-key caps rightly don't touch; real corpora grow vocabulary with
+    size, so the generator must too)."""
     s = []
     x = h & 0xFFFFFFFFFFFFFFFF
-    for _ in range(3):
+    for _ in range(4):
         s.append(_SYLLABLES[x % len(_SYLLABLES)])
         x //= len(_SYLLABLES)
     return "".join(s)

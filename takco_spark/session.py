@@ -17,10 +17,11 @@ DEFAULT_CONFS: dict[str, str] = {
     # splitting. Blocking self-joins are the skew hotspot (SURVEY.md §4).
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # actually shrink small shuffles instead of keeping one partition per
-    # core — tiny stages (CC rounds, stats aggs) otherwise pay per-partition
-    # overhead at high parallelism
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # parallelismFirst=true (default) floors coalescing at defaultParallelism:
+    # small shuffles shrink toward one-partition-per-core, while CPU-heavy
+    # UDF stages keep full parallelism. (=false coalesces by bytes only and
+    # serialized byte-small-but-CPU-heavy stages — measured regression.)
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas UDFs — every scorer is batch-vectorized (input_hint:
     # "no per-row Python").
