@@ -197,6 +197,27 @@ def q_majority(spark, sf_dir):
     )
 
 
+def q_uniqueness(spark, sf_dir):
+    """P5: uniqueness-ratio key-candidate heuristic over customer columns."""
+    from takco_spark.operators.profile import uniqueness
+
+    c = _t(spark, sf_dir, "customer")
+    df = uniqueness(c, ["c_custkey", "c_nationkey", "c_mktsegment"])
+    return df.select("column_name", F.round("uniqueness_ratio", 6).alias("uniq_r"))
+
+
+def q_novelty(spark, sf_dir):
+    """A12: novelty counting by set algebra — kinds=order status, gold=big
+    orders, pred=urgent orders."""
+    from takco_spark.plans.metrics import novelty_counts
+
+    o = _t(spark, sf_dir, "orders")
+    kinds = o.select(F.col("o_orderkey").alias("item_id"), F.col("o_orderstatus").alias("kind"))
+    gold = o.where(F.col("o_totalprice") > 150000).select(F.col("o_orderkey").alias("item_id"))
+    pred = o.where(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_orderkey").alias("item_id"))
+    return novelty_counts(kinds, gold, pred)
+
+
 def q_text_quality(spark, sf_dir):
     return textstats.text_quality(_t(spark, sf_dir, "documents")).withColumn(
         "n_tokens", F.col("n_tokens").cast("long")
@@ -336,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_pairs": q_distinct_pairs,
         "set_ops": q_set_ops,
         "majority": q_majority,
+        "uniqueness": q_uniqueness,
+        "novelty": q_novelty,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
         "lang_guess": q_lang_guess,
@@ -437,6 +460,27 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT o_custkey, o_orderpriority, count(*) AS n
                     FROM orders GROUP BY 1, 2))
             WHERE rn = 1
+        """,
+        "uniqueness": """
+            SELECT column_name, round(uniq, 6) AS uniq_r FROM (
+              SELECT 'c_custkey' AS column_name,
+                     count(DISTINCT c_custkey) * 1.0 / count(*) AS uniq FROM customer
+              UNION ALL
+              SELECT 'c_nationkey', count(DISTINCT c_nationkey) * 1.0 / count(*) FROM customer
+              UNION ALL
+              SELECT 'c_mktsegment', count(DISTINCT c_mktsegment) * 1.0 / count(*) FROM customer)
+        """,
+        "novelty": """
+            WITH flagged AS (
+              SELECT o.o_orderstatus AS kind,
+                     (o.o_totalprice > 150000) AS in_gold,
+                     (o.o_orderpriority = '1-URGENT') AS in_pred
+              FROM orders o)
+            SELECT kind,
+                   sum(CASE WHEN in_gold AND in_pred THEN 1 ELSE 0 END) AS tp,
+                   sum(CASE WHEN NOT in_gold AND in_pred THEN 1 ELSE 0 END) AS fp,
+                   sum(CASE WHEN in_gold AND NOT in_pred THEN 1 ELSE 0 END) AS fn
+            FROM flagged GROUP BY kind
         """,
         "text_quality": """
             SELECT doc_id,

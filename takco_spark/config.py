@@ -56,6 +56,11 @@ class PipelineConfig:
     max_cluster_size: int = 0
     #: max large-star/small-star rounds before declaring non-convergence.
     max_cc_iterations: int = 20
+    #: optional strict within-cluster refinement (reference two-stage scheme:
+    #: coarse graph partition, then per-partition complete-linkage at a
+    #: stricter threshold — agg_threshold_col analog, wikitables.toml:167).
+    #: None disables; when set, the pipeline emits refined cluster ids.
+    refine_threshold: float | None = None
     # --- checkpointing ------------------------------------------------------
     checkpoint_dir: str | None = None
     run_id: str = "run0"

@@ -96,14 +96,18 @@ def connected_components(
     plan never grows (the reference's Louvain is a single-machine black box —
     this is its distributed replacement, SURVEY.md G1).
     """
-    cur = _canonical(edges).localCheckpoint(eager=True)
+    # lazy localCheckpoint: the checksum aggregate is the action that
+    # materializes each round's checkpoint — ONE Spark job per round instead
+    # of two (job-count is the fixed cost that dominates small/medium runs;
+    # on a cluster it's driver round-trips)
+    cur = _canonical(edges).localCheckpoint(eager=False)
     prev_sum = _checksum(cur)
     counts = [prev_sum[0]]
     converged = False
     iterations = 0
     for i in range(max_iterations):
         iterations = i + 1
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         cur_sum = _checksum(cur)
         counts.append(cur_sum[0])
         if cur_sum == prev_sum:

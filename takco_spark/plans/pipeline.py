@@ -98,6 +98,21 @@ def run_pipeline(
     components = ckpt.stage("components", _components)
     stats["cc"] = cc_meta
 
+    if cfg.refine_threshold is not None:
+        from takco_spark.operators.refine import refine_clusters
+
+        def _refined() -> DataFrame:
+            refined = refine_clusters(
+                components.select("doc_id", "cluster_id"),
+                pairs_scored.select("doc_id_1", "doc_id_2", "agg_sim"),
+                threshold=cfg.refine_threshold,
+            )
+            return refined.select(
+                "doc_id", F.col("refined_id").alias("cluster_id")
+            )
+
+        components = ckpt.stage("components_refined", _refined)
+
     labelled = attach_labels(documents, components)
     return PipelineResult(
         labelled=labelled,

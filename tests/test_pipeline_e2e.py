@@ -133,3 +133,16 @@ def test_block_stats_reduction(spark, corpus):
     assert st["n_docs"] == N_DOCS
     assert st["reduction_factor"] > 1.0  # blocking beats the O(n²) worst case
     assert res.stats["blocking"]  # per-blocker stats recorded
+
+
+def test_pipeline_with_refinement(spark, corpus):
+    """Two-stage coarse→strict: refinement at the agg threshold itself must
+    not split true entities (every intra-entity link is ≥ the threshold)."""
+    docs = corpus.select("doc_id", "spans")
+    gold = corpus.select("doc_id", "true_entity")
+    res = run_pipeline(spark, docs, _cfg(refine_threshold=0.6))
+    prf = pairwise_f1(res.components, gold)
+    assert prf.f1 >= 0.99, prf.as_dict()
+    # refined ids carry the coarse id as prefix (lineage-friendly)
+    row = res.components.first()
+    assert "/" in row["cluster_id"]
