@@ -167,7 +167,9 @@ def global_hot_tokens(features: DataFrame, cfg: PipelineConfig,
         .agg(F.count("*").alias("df"))
         .where(F.col("df") > cfg.max_block_size)
     )
-    rows = df_counts.orderBy(F.desc("df")).limit(cap + 1).collect()
+    # no global sort: hot tokens are few by construction (df > cap bounds
+    # their count at total_tokens/cap); limit() only guards pathology
+    rows = df_counts.limit(cap + 1).collect()
     toks = [r["token"] for r in rows]
     if len(toks) > cap:
         import logging
