@@ -306,6 +306,50 @@ def q_er_cc(spark, sf_dir):
     )
 
 
+def q_emb_pair_scores(spark, sf_dir):
+    """F11/J4 embedding matcher, oracled: token-blocked candidate pairs
+    scored by positive embedding cosine (the emb_cos matcher column;
+    reference EmbeddingMatcher.vecsim,
+    /root/reference/takco/cluster/matchers/embedding.py:227-246). Brute-force
+    exact semantics so the DuckDB list_cosine_similarity twin matches."""
+    from takco_spark.functions.similarity import cosine
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), r"\W+"),
+                         lambda t: F.length(t) >= 2)
+            )
+        ).alias("tok"),
+    )
+    pairs = (
+        toks.alias("a").join(toks.alias("b"), "tok")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_id_1"),
+                F.col("b.doc_id").alias("doc_id_2"))
+        .distinct()
+    )
+    e1 = emb.select(F.col("doc_id").alias("doc_id_1"), F.col("emb").alias("e1"))
+    e2 = emb.select(F.col("doc_id").alias("doc_id_2"), F.col("emb").alias("e2"))
+    return (
+        pairs.join(e1, "doc_id_1").join(e2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(
+                F.greatest(cosine(F.col("e1"), F.col("e2")), F.lit(0.0)), 6
+            ).alias("emb_cos_r"),
+        )
+        .where(F.col("emb_cos_r") >= 0.2)
+    )
+
+
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
 def q_ngram_jaccard_capped(spark, sf_dir):
@@ -324,8 +368,9 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming ≤ 16 within pigeonhole buckets)."""
-    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=16)
+    """SimHash near-dup pairs (Hamming ≤ 8, full-recall pigeonhole buckets:
+    9 fingerprint pieces, any qualifying pair shares ≥ one piece exactly)."""
+    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
 
 
 def q_er_pipeline_spans(spark, sf_dir):
@@ -342,6 +387,25 @@ def q_knn_lsh(spark, sf_dir):
     recall vs brute force asserted in pytest)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity_search.knn_lsh(emb.where(F.col("vec_id") < 20), emb, k=3)
+
+
+def q_er_pipeline_aligned(spark, sf_dir):
+    """A5/G3 flagship variant: segment-level scoring + greedy 1:1 alignment
+    + strict refinement on a deterministic sub-structured corpus (greedy
+    alignment is order-sequential — rows-only; e2e F1 asserted in pytest on
+    planted scrambler corpora). The sf dir scales the corpus size."""
+    from takco_spark.datagen import synth_segmented_documents
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        n_entities = max(20, int(float(sf) * 30000))
+    except ValueError:
+        n_entities = 100
+    docs = synth_segmented_documents(spark, n_entities, variants=3,
+                                     scramblers=1, seed=42)
+    cfg = PipelineConfig(aligned=True, refine_threshold=0.6)
+    res = run_pipeline(spark, docs.select("doc_id", "spans"), cfg)
+    return res.labelled.select("doc_id", "cluster_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -366,12 +430,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "knn_cosine": q_knn_cosine,
         "er_cc": q_er_cc,
+        "emb_pair_scores": q_emb_pair_scores,
         # rows-only (no oracle possible: seeded-hash / pipeline internals)
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "er_pipeline_spans": q_er_pipeline_spans,
         "knn_lsh": q_knn_lsh,
+        "er_pipeline_aligned": q_er_pipeline_aligned,
     }
 
 
@@ -477,9 +543,9 @@ def oracle_sql() -> dict[str, str]:
                      (o.o_orderpriority = '1-URGENT') AS in_pred
               FROM orders o)
             SELECT kind,
-                   sum(CASE WHEN in_gold AND in_pred THEN 1 ELSE 0 END) AS tp,
-                   sum(CASE WHEN NOT in_gold AND in_pred THEN 1 ELSE 0 END) AS fp,
-                   sum(CASE WHEN in_gold AND NOT in_pred THEN 1 ELSE 0 END) AS fn
+                   CAST(sum(CASE WHEN in_gold AND in_pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN NOT in_gold AND in_pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN in_gold AND NOT in_pred THEN 1 ELSE 0 END) AS BIGINT) AS fn
             FROM flagged GROUP BY kind
         """,
         "text_quality": """
@@ -591,5 +657,24 @@ def oracle_sql() -> dict[str, str]:
               FROM reach GROUP BY node)
             SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        """,
+        "emb_pair_scores": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\W+')) AS tok
+                FROM documents)
+              WHERE length(tok) >= 2),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id)
+            SELECT d1 AS doc_id_1, d2 AS doc_id_2, emb_cos_r FROM (
+              SELECT d1, d2,
+                     round(greatest(list_cosine_similarity(
+                         CAST(e1.embedding AS DOUBLE[]),
+                         CAST(e2.embedding AS DOUBLE[])), 0), 6) AS emb_cos_r
+              FROM pairs
+              JOIN embeddings e1 ON e1.vec_id = d1
+              JOIN embeddings e2 ON e2.vec_id = d2)
+            WHERE emb_cos_r >= 0.2
         """,
     }

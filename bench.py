@@ -76,6 +76,102 @@ def _pipeline_run(cores: int, n_docs: int) -> None:
     spark.stop()
 
 
+def _stage_run(cores: int, n_docs: int) -> None:
+    """Child-process entry: ONE fresh-JVM pipeline run with per-stage walls
+    (features / blocking / scoring / cc) plus a pure-compute control (the
+    batched Jaro-Winkler kernel on synthetic pairs, no shuffle) — the
+    diagnostic evidence for the N→4N scaling criterion. Prints JSON."""
+    from pyspark.sql import functions as F
+
+    from takco_spark.config import PipelineConfig
+    from takco_spark.datagen import synth_documents
+    from takco_spark.functions.similarity import jaro_winkler_udf
+    from takco_spark.operators.blocking import block_documents, candidate_pairs
+    from takco_spark.operators.components import connected_components, rechunk_oversized
+    from takco_spark.operators.scoring import score_pairs
+    from takco_spark.session import get_spark
+    from takco_spark.spans import doc_text_features
+
+    spark = get_spark(app_name=f"stage-{cores}", master=f"local[{cores}]")
+    docs = (
+        synth_documents(
+            spark, n_docs, seed=42, partitions=cores * 4,
+            extra_tokens=int(os.environ.get("SPARK_GRAFT_BENCH_TOKENS", "24")),
+        )
+        .select("doc_id", "spans")
+        .persist()
+    )
+    docs.count()
+    spark.range(10**6).count()
+    spark.range(cores * 1000, numPartitions=cores * 2).select(
+        jaro_winkler_udf(F.col("id").cast("string"), F.col("id").cast("string")).alias("w")
+    ).agg(F.sum("w")).collect()
+
+    t: dict[str, float] = {}
+
+    def clock(name: str, fn):
+        t0 = time.time()
+        r = fn()
+        t[name] = round(time.time() - t0, 2)
+        return r
+
+    # pure-compute control: JW over 2M synthetic string pairs, one narrow map
+    n_ctl = 2_000_000
+    ctl = spark.range(n_ctl, numPartitions=cores * 2).select(
+        F.concat(F.lit("name-"), (F.col("id") % 9973).cast("string")).alias("a"),
+        F.concat(F.lit("nmae-"), (F.col("id") % 9931).cast("string")).alias("b"),
+    )
+    clock("control_jw", lambda: ctl.select(
+        jaro_winkler_udf("a", "b").alias("w")).agg(F.sum("w")).collect())
+
+    cfg = PipelineConfig()
+    feats = doc_text_features(docs, cfg.min_token_len).persist()
+    clock("features", feats.count)
+
+    blocks_box: dict = {}
+
+    def _run_blocking():
+        blocks, st = block_documents(feats, cfg)
+        blocks_box["blocks"] = blocks
+        blocks_box["stats"] = [s.as_dict() for s in st]
+        return blocks.count()
+
+    clock("blocking", _run_blocking)
+
+    scored_box: dict = {}
+
+    def _run_scoring():
+        pairs = candidate_pairs(blocks_box["blocks"])
+        scored = score_pairs(pairs, feats, cfg).persist()
+        scored_box["scored"] = scored
+        return scored.count()
+
+    clock("scoring", _run_scoring)
+
+    cc_box: dict = {}
+
+    def _run_cc():
+        edges = scored_box["scored"].select(
+            F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+        )
+        res = connected_components(edges, cfg.max_cc_iterations)
+        cc_box["iterations"] = res.iterations
+        labels = res.labels
+        if cfg.max_cluster_size:
+            labels = rechunk_oversized(labels, cfg.max_cluster_size)
+        labels.write.format("noop").mode("overwrite").save()
+        return None
+
+    clock("cc", _run_cc)
+    t["total"] = round(sum(v for k, v in t.items() if k != "control_jw"), 2)
+    print(json.dumps({
+        "cores": cores, "n_docs": n_docs, "stage_walls": t,
+        "cc_iterations": cc_box.get("iterations"),
+        "blocking_stats": blocks_box.get("stats"),
+    }))
+    spark.stop()
+
+
 def _fresh_run(cores: int, n_docs: int) -> float:
     env = dict(os.environ)
     out = subprocess.run(
@@ -174,6 +270,9 @@ cores. On a real multi-executor cluster N and 4N are executor counts.
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--pipeline-run":
         _pipeline_run(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--stage-run":
+        _stage_run(int(sys.argv[2]), int(sys.argv[3]))
         return
     queries = _time_headline_queries()
     scaling = _scaling()

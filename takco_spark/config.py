@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 @dataclass
 class PipelineConfig:
     # --- blocking -----------------------------------------------------------
-    #: which blockers to run: any subset of {"token", "minhash"}.
+    #: which blockers to run: any subset of {"token", "minhash", "embedding"}.
     blockers: tuple[str, ...] = ("token", "minhash")
     #: minimum token length considered a blocking key (reference skips short /
     #: numeric cells for lookup, takco/link/base.py:200-201).
@@ -50,10 +50,33 @@ class PipelineConfig:
     #: similarity to 0 (JVM early-abandon — the lev DP is the scoring
     #: hotspot). None = exact.
     lev_max_dist_frac: float | None = 0.7
+    #: score candidate pairs at SEGMENT level (header-delimited span groups —
+    #: the column analog) and aggregate sub-similarities per pair by 1:1
+    #: alignment, the reference's column-wise scheme (cluster.py:246-345).
+    #: False = whole-document matchers (score_pairs).
+    aligned: bool = False
+    #: 'greedy' = soft-jaccard greedy 1:1 (reference default); 'max1' =
+    #: each left segment takes its best right match (pure DataFrame aggs).
+    align_mode: str = "greedy"
+    #: normalization of the aligned total: 'jacc' t/(n1+n2-t), 'wide' t/max,
+    #: 'narrow' t/min (reference align_width_norm).
+    align_width_norm: str = "jacc"
+    # --- embedding matcher/blocker (F11/J3; EmbeddingMatcher analog) --------
+    #: compute mean-of-span embeddings and add the 'emb_cos' matcher column
+    #: (reference vecsim, embedding.py:227-246); the agg_expr may then
+    #: reference emb_cos. Requires no external data: a (token, vec) word-vec
+    #: table can be passed to the operators; default is the deterministic
+    #: hash projection (operators.embedding).
+    use_embedding: bool = False
+    embedding_dim: int = 16
+    #: hyperplane bits per LSH table for the 'embedding' blocker.
+    emb_n_bits: int = 12
     # --- clustering ---------------------------------------------------------
     #: clusters larger than this are re-sliced (reference max_cluster_size,
-    #: wikitables.toml:168 = 250; 0 disables).
-    max_cluster_size: int = 0
+    #: wikitables.toml:168 = 250; 0 disables). On by default so every
+    #: downstream per-cluster stage (refinement, alignment) sees a bounded
+    #: group even when CC produces a giant component.
+    max_cluster_size: int = 250
     #: max large-star/small-star rounds before declaring non-convergence.
     max_cc_iterations: int = 20
     #: optional strict within-cluster refinement (reference two-stage scheme:

@@ -167,6 +167,89 @@ def synth_documents(
     return base.mapInPandas(gen, schema=schema)
 
 
+_FIELD_NAMES = ["name", "city", "class"]
+
+
+def _segmented_doc(entity: int, variant: int, seed: int,
+                   scrambled: bool) -> list[dict]:
+    """Span sequence for one sub-structured doc: 3 fields, each a 'header'
+    span (field label) + 2 'cell' value spans.
+
+    - true variants rotate field ORDER by variant (alignment must be
+      order-invariant) and variant 1 perturbs one value token (char edit);
+    - the scrambled doc has the SAME six value tokens as the entity but
+      re-dealt across fields so no field survives intact — its whole-doc
+      token set is IDENTICAL to variant 0's, which is exactly the case
+      whole-document token matchers cannot reject and aligned scoring must.
+    """
+    vals = [
+        [_word(_mix(seed, 3, entity, f, k)) for k in range(2)]
+        for f in range(3)
+    ]
+    if scrambled:
+        fields = [
+            [vals[(f + 1) % 3][0], vals[(f + 2) % 3][1]] for f in range(3)
+        ]
+        order = range(3)
+    else:
+        fields = [list(v) for v in vals]
+        if variant == 1:
+            fields[1][1] = fields[1][1] + "q"  # one char-edited value
+        order = [(f + variant) % 3 for f in range(3)]
+    spans, off = [], 0
+    for f in order:
+        spans.append({"kind": "header", "text": _FIELD_NAMES[f],
+                      "media_ref": "", "offset": off})
+        off += 1
+        for v in fields[f]:
+            spans.append({"kind": "cell", "text": v, "media_ref": "",
+                          "offset": off})
+            off += 1
+    return spans
+
+
+def synth_segmented_documents(
+    spark: SparkSession,
+    n_entities: int,
+    variants: int = 3,
+    scramblers: int = 1,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic corpus of SUB-STRUCTURED documents for the aligned
+    pipeline (A5/G3): per entity, ``variants`` true duplicates (field order
+    rotated, one value perturbed) plus ``scramblers`` docs with the same
+    token multiset re-partitioned across fields. Gold: the variants form one
+    entity; each scrambler is its own singleton entity.
+
+    (doc_id, spans, true_entity); doc_id = 'e{entity}v{k}' / 'e{entity}s{k}'.
+    """
+    per = variants + scramblers
+    schema = f"doc_id string, spans {SPANS_TYPE}, true_entity long"
+    base = spark.range(0, n_entities * per, numPartitions=partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, spans_col, entities = [], [], []
+            for i in pdf["id"]:
+                i = int(i)
+                entity, j = divmod(i, per)
+                scrambled = j >= variants
+                spans = _segmented_doc(entity, j, seed, scrambled)
+                if scrambled:
+                    doc_ids.append(f"e{entity:06d}s{j - variants}")
+                    entities.append(1_000_000_000 + i)
+                else:
+                    doc_ids.append(f"e{entity:06d}v{j}")
+                    entities.append(entity)
+                spans_col.append(spans)
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "spans": spans_col, "true_entity": entities}
+            )
+
+    return base.mapInPandas(gen, schema=schema)
+
+
 def expected_clusters_py(n_docs: int, dup_fraction: float = 0.6,
                          variants: int = 3) -> dict[str, int]:
     """Driver-side golden mapping doc_id → entity (for small-corpus asserts)."""

@@ -75,6 +75,37 @@ def _band_keys(sigs: np.ndarray, bands: int) -> np.ndarray:
     return acc.view(np.int64)
 
 
+def _signature_chunks(token_hashes: pd.Series, num_perm: int,
+                      a: np.ndarray, b: np.ndarray):
+    """Yield (batch_indices, uint64 signature matrix) for all non-empty rows,
+    chunked so the (num_perm × total_tokens) scratch matrix stays bounded.
+    Whole chunks go through ONE _minhash_matrix call (minimum.reduceat over
+    concatenated runs) — no per-row Python in the hot path."""
+    lens = np.fromiter(
+        (0 if h is None else len(h) for h in token_hashes), dtype=np.int64,
+        count=len(token_hashes),
+    )
+    nonempty = np.nonzero(lens > 0)[0]
+    if len(nonempty) == 0:
+        return
+    max_tokens = max(1, _MINHASH_CHUNK_CELLS // num_perm)
+    start = 0
+    while start < len(nonempty):
+        end = start
+        total = 0
+        while end < len(nonempty) and (total == 0 or total + lens[nonempty[end]] <= max_tokens):
+            total += lens[nonempty[end]]
+            end += 1
+        idxs = nonempty[start:end]
+        runs = [np.asarray(token_hashes.iloc[i], dtype=np.int64).astype(np.uint64)
+                for i in idxs]
+        hashes = np.concatenate(runs)
+        offsets = np.zeros(len(runs), dtype=np.int64)
+        np.cumsum([len(x) for x in runs[:-1]], out=offsets[1:])
+        yield idxs, _minhash_matrix(hashes, offsets, a, b)
+        start = end
+
+
 def make_lsh_band_udf(num_perm: int, bands: int, seed: int):
     """pandas UDF: array<long> token xxhashes → array<long> of `bands` band
     keys (None for empty docs, which therefore produce no LSH blocks)."""
@@ -83,33 +114,10 @@ def make_lsh_band_udf(num_perm: int, bands: int, seed: int):
     @pandas_udf(ArrayType(LongType()))
     def lsh_bands(token_hashes: pd.Series) -> pd.Series:
         out: list[list[int] | None] = [None] * len(token_hashes)
-        lens = np.fromiter(
-            (0 if h is None else len(h) for h in token_hashes), dtype=np.int64,
-            count=len(token_hashes),
-        )
-        nonempty = np.nonzero(lens > 0)[0]
-        if len(nonempty) == 0:
-            return pd.Series(out)
-        # chunk so the scratch matrix stays bounded
-        max_tokens = max(1, _MINHASH_CHUNK_CELLS // num_perm)
-        start = 0
-        while start < len(nonempty):
-            end = start
-            total = 0
-            while end < len(nonempty) and (total == 0 or total + lens[nonempty[end]] <= max_tokens):
-                total += lens[nonempty[end]]
-                end += 1
-            idxs = nonempty[start:end]
-            runs = [np.asarray(token_hashes.iloc[i], dtype=np.int64).astype(np.uint64)
-                    for i in idxs]
-            hashes = np.concatenate(runs)
-            offsets = np.zeros(len(runs), dtype=np.int64)
-            np.cumsum([len(x) for x in runs[:-1]], out=offsets[1:])
-            sigs = _minhash_matrix(hashes, offsets, a, b)
+        for idxs, sigs in _signature_chunks(token_hashes, num_perm, a, b):
             keys = _band_keys(sigs, bands)
             for row, i in enumerate(idxs):
                 out[i] = keys[row].tolist()
-            start = end
         return pd.Series(out)
 
     return lsh_bands
@@ -118,18 +126,17 @@ def make_lsh_band_udf(num_perm: int, bands: int, seed: int):
 def make_minhash_signature_udf(num_perm: int, seed: int):
     """pandas UDF: array<long> token xxhashes → array<long> full signature
     (for Jaccard-estimate scoring, reference digest-equality mean
-    /root/reference/takco/cluster/matchers/lsh.py:244)."""
+    /root/reference/takco/cluster/matchers/lsh.py:244). Batch-vectorized via
+    the same concatenated-runs reduceat kernel as the band UDF."""
     a, b = minhash_params(num_perm, seed)
 
     @pandas_udf(ArrayType(LongType()))
     def minhash_sig(token_hashes: pd.Series) -> pd.Series:
         out: list[list[int] | None] = [None] * len(token_hashes)
-        for i, h in enumerate(token_hashes):
-            if h is None or len(h) == 0:
-                continue
-            hh = np.asarray(h, dtype=np.int64).astype(np.uint64)
-            sig = _minhash_matrix(hh, np.zeros(1, dtype=np.int64), a, b)[0]
-            out[i] = sig.view(np.int64).tolist()
+        for idxs, sigs in _signature_chunks(token_hashes, num_perm, a, b):
+            s64 = sigs.view(np.int64)
+            for row, i in enumerate(idxs):
+                out[i] = s64[row].tolist()
         return pd.Series(out)
 
     return minhash_sig

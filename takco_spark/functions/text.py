@@ -14,13 +14,15 @@ YEAR_PATTERN = r"^(\d{4})([-–—]\d{2,4})?$"
 
 
 def tokenize(col: Column | str) -> Column:
-    """Lowercase + split on non-word chars, drop empties.
+    """Lowercase + split on non-word chars, drop empties; text starting with
+    ``_`` (context tokens like ``_pgTitle``) is kept whole, case preserved.
 
     Reference semantics: default_tokenize,
     /root/reference/takco/cluster/matchers/matcher.py:23-26.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), r"\W+"), lambda t: t != F.lit(""))
+    split = F.filter(F.split(F.lower(c), r"\W+"), lambda t: t != F.lit(""))
+    return F.when(c.startswith("_"), F.array(c)).otherwise(split)
 
 
 def distinct_tokens(col: Column | str, min_len: int = 1) -> Column:

@@ -20,6 +20,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 ALIGN_SCHEMA = (
     "pair_id string, left_item string, right_item string, score double"
@@ -53,6 +55,35 @@ def greedy_align(scores: DataFrame) -> DataFrame:
     matching per pair_id."""
 
     return scores.groupBy("pair_id").applyInPandas(_greedy_one, ALIGN_SCHEMA)
+
+
+def _greedy_total_one(arr) -> float:
+    """Reference greedy_align semantics (cluster.py:252-259): scan cells in
+    (-score, l, r) order, keep a cell iff both sides unused, sum kept scores.
+    Inherently sequential WITHIN one pair — but each pair's cell list is
+    bounded by its segment-count product, and pairs batch through Arrow."""
+    items = sorted(arr, key=lambda x: (-x["s"], x["l"], x["r"]))
+    used_l: set = set()
+    used_r: set = set()
+    t = 0.0
+    for it in items:
+        if it["l"] in used_l or it["r"] in used_r:
+            continue
+        used_l.add(it["l"])
+        used_r.add(it["r"])
+        t += float(it["s"])
+    return t
+
+
+@pandas_udf(DoubleType())
+def greedy_total_udf(cells: pd.Series) -> pd.Series:
+    """array<struct<l:int,r:int,s:double>> of sub-item sims → greedy 1:1
+    total score. The pipeline-friendly shape of A5: ONE aggregated row per
+    pair (collect_list of bounded segment-pair cells), not one shuffle group
+    per pair — pairs stream through as Arrow batches."""
+    return pd.Series(
+        [0.0 if a is None else _greedy_total_one(a) for a in cells]
+    )
 
 
 def aligned_pair_scores(scores: DataFrame, widths: DataFrame) -> DataFrame:

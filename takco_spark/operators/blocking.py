@@ -42,9 +42,26 @@ class BlockingStats:
     dropped_keys: int
     salted_keys: int
     candidate_rows: int
+    #: estimated within-key pairs LOST to salting (pairs form only within a
+    #: salt bucket, so a key of size n split into s buckets keeps ≈ n(n/s−1)/2
+    #: of its n(n−1)/2 pairs) — makes the recall cost of the skew bound
+    #: observable, never silent (ADVICE r1).
+    salted_pairs_excluded_est: int = 0
 
     def as_dict(self) -> dict:
         return self.__dict__.copy()
+
+
+def _salt_excluded_expr(salt_threshold: int, max_block_size: int):
+    """Aggregate expression over the key-size table: Σ over salted keys of
+    (all within-key pairs − pairs retained inside salt buckets)."""
+    n = F.col("n").cast("double")
+    s = F.ceil(F.col("n") / salt_threshold).cast("double")
+    excluded = (n * (n - 1) - n * (n / s - 1)) / 2.0
+    cond = (F.col("n") > salt_threshold) & (F.col("n") <= max_block_size)
+    return F.coalesce(
+        F.sum(F.when(cond, excluded).otherwise(F.lit(0.0))), F.lit(0.0)
+    ).cast("long")
 
 
 def token_blocks(features: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -117,10 +134,12 @@ def apply_block_caps(
                 & (F.col("n") <= cfg.max_block_size)
             ).cast("long")
         ).alias("salted"),
+        _salt_excluded_expr(cfg.salt_threshold, cfg.max_block_size).alias("salt_excl"),
     ).collect()[0]
     total = int(srow["total"] or 0)
     n_dropped = int(srow["dropped"] or 0)
     n_salted = int(srow["salted"] or 0)
+    n_salt_excl = int(srow["salt_excl"] or 0)
 
     # hot-key tables are small by construction (heavy-hitter keys only)
     hot_map = sizes.where(
@@ -149,6 +168,7 @@ def apply_block_caps(
         dropped_keys=int(n_dropped),
         salted_keys=int(n_salted),
         candidate_rows=-1,
+        salted_pairs_excluded_est=n_salt_excl,
     )
     return out, stats
 
@@ -183,18 +203,22 @@ def global_hot_tokens(features: DataFrame, cfg: PipelineConfig,
 
 
 def block_documents(
-    features: DataFrame, cfg: PipelineConfig
+    features: DataFrame, cfg: PipelineConfig,
+    embeddings: DataFrame | None = None,
 ) -> tuple[DataFrame, list[BlockingStats]]:
     """Run the configured blockers and cap the UNION of their key streams.
 
     Returns (blocks(block_key, salt, doc_id), per-blocker stats).
 
-    The blockers' key namespaces are disjoint ('tok:…' vs 'lsh<band>:…'), so
-    one cap pass over the union is semantically identical to per-blocker
-    passes but pays the sizes-groupBy / stats-collect / cap-join ONCE —
-    fixed-cost discipline that matters both for tiny-corpus latency and for
-    job-count at cluster scale. Per-blocker stats come from a single grouped
-    aggregate over the (small) key-size table.
+    The blockers' key namespaces are disjoint ('tok:…' vs 'lsh<band>:…' vs
+    'emb:…'), so one cap pass over the union is semantically identical to
+    per-blocker passes but pays the sizes-groupBy / stats-collect / cap-join
+    ONCE — fixed-cost discipline that matters both for tiny-corpus latency
+    and for job-count at cluster scale. Per-blocker stats come from a single
+    grouped aggregate over the (small) key-size table.
+
+    ``embeddings``: (doc_id, emb) table required by the 'embedding' blocker
+    (random-hyperplane buckets — the FAISS-blocking analog, SURVEY.md J3).
     """
     parts: list[DataFrame] = []
     for blocker in cfg.blockers:
@@ -203,6 +227,15 @@ def block_documents(
         elif blocker == "minhash":
             hot = global_hot_tokens(features, cfg)
             parts.append(minhash_blocks(features, cfg, exclude_tokens=hot))
+        elif blocker == "embedding":
+            if embeddings is None:
+                raise ValueError("'embedding' blocker requires an embeddings table")
+            from takco_spark.operators.embedding import embedding_blocks
+
+            parts.append(
+                embedding_blocks(embeddings, cfg.embedding_dim,
+                                 cfg.emb_n_bits, cfg.seed)
+            )
         else:
             raise ValueError(f"unknown blocker {blocker!r}")
     raw = parts[0]
@@ -211,9 +244,11 @@ def block_documents(
 
     raw = raw.persist()
     sizes = raw.groupBy("block_key").agg(F.count("*").alias("n")).persist()
-    blocker_of = F.when(
-        F.col("block_key").startswith("tok:"), F.lit("token")
-    ).otherwise(F.lit("minhash"))
+    blocker_of = (
+        F.when(F.col("block_key").startswith("tok:"), F.lit("token"))
+        .when(F.col("block_key").startswith("emb:"), F.lit("embedding"))
+        .otherwise(F.lit("minhash"))
+    )
     srows = (
         sizes.groupBy(blocker_of.alias("blocker"))
         .agg(
@@ -225,6 +260,9 @@ def block_documents(
                     & (F.col("n") <= cfg.max_block_size)
                 ).cast("long")
             ).alias("salted"),
+            _salt_excluded_expr(cfg.salt_threshold, cfg.max_block_size).alias(
+                "salt_excl"
+            ),
         )
         .collect()
     )
@@ -235,6 +273,7 @@ def block_documents(
             dropped_keys=int(r["dropped"] or 0),
             salted_keys=int(r["salted"] or 0),
             candidate_rows=-1,
+            salted_pairs_excluded_est=int(r["salt_excl"] or 0),
         )
         for r in srows
     ]

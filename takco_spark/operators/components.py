@@ -119,6 +119,10 @@ def connected_components(
     roots = cur.select(F.col("dst").alias("doc_id"), F.col("dst").alias("cluster_id"))
     members = cur.select(F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id"))
     labels = roots.unionByName(members).distinct()
+    if not converged:
+        # non-star residue can carry >1 label per node — collapse to the min
+        # so attach_labels never duplicates document rows
+        labels = labels.groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
     return CCResult(labels=labels, iterations=iterations, converged=converged,
                     edge_counts=counts)
 

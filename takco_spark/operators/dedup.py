@@ -190,25 +190,38 @@ def minhash_dedup_buckets(documents: DataFrame, num_perm: int = 128,
 def make_simhash_udf(seed: int = 42):
     """pandas UDF: array<long> token hashes → 64-bit SimHash (long).
 
-    Sign of per-bit weighted sums; vectorized with numpy bit unpacking.
+    Batch-vectorized: ALL rows' hashes are concatenated, bit-unpacked once
+    (``np.unpackbits`` on the little-endian byte view), per-row bit counts
+    taken with one ``np.add.reduceat`` over the run offsets, and the sign
+    test ``2·ones > n_tokens`` packs back to 64-bit — zero per-row Python.
     """
 
     @pandas_udf(LongType())
     def simhash(token_hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(token_hashes), dtype=np.int64)
-        for i, h in enumerate(token_hashes):
-            if h is None or len(h) == 0:
-                continue
-            hh = np.asarray(h, dtype=np.int64).astype(np.uint64)
-            bits = ((hh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int32
+        n = len(token_hashes)
+        out = np.zeros(n, dtype=np.uint64)
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in token_hashes),
+            dtype=np.int64, count=n,
+        )
+        nonempty = np.nonzero(lens > 0)[0]
+        if len(nonempty):
+            flat = np.concatenate(
+                [np.asarray(token_hashes.iloc[i], dtype=np.int64) for i in nonempty]
+            ).astype(np.uint64)
+            # (total_tokens, 64) bit matrix, bit j of hash at column j
+            bits = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
             )
-            votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig.astype(np.int64))
-        return pd.Series(out)
+            nz_lens = lens[nonempty]
+            starts = np.zeros(len(nonempty), dtype=np.int64)
+            np.cumsum(nz_lens[:-1], out=starts[1:])
+            ones = np.add.reduceat(bits.astype(np.int32), starts, axis=0)
+            sig_bits = (2 * ones > nz_lens[:, None]).astype(np.uint64)
+            out[nonempty] = (sig_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+        return pd.Series(out.view(np.int64))
 
     return simhash
 
@@ -230,24 +243,38 @@ def hamming64(a, b):
     return F.bit_count(F.expr(f"({a} ^ {b})"))
 
 
-def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8,
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
                        id_col: str = "doc_id", text_col: str = "text",
                        max_bucket_size: int | None = 500) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on 16-bit quarters (a pair within
-    Hamming ≤ 3·16 shares ≥ one quarter by pigeonhole — standard SimHash
-    blocking), then filter exact Hamming ≤ max_hamming. Oversized buckets
-    dropped as in :func:`minhash_dedup_buckets`."""
+    """Near-dup pairs by SimHash: general pigeonhole blocking — the 64-bit
+    fingerprint is split into ``max_hamming + 1`` contiguous pieces, so any
+    pair within Hamming ≤ max_hamming must agree exactly on ≥ one piece
+    (candidate recall = 1 before the bucket cap). Bucket on (piece index,
+    piece value), self-join, then filter exact JVM ``bit_count`` Hamming.
+    Oversized buckets dropped as in :func:`minhash_dedup_buckets`.
+
+    Piece width shrinks as max_hamming grows (64/(d+1) bits → buckets get
+    hotter); max_hamming > 15 would leave < 4-bit pieces and is rejected.
+    """
+    if not 0 <= max_hamming <= 15:
+        raise ValueError("max_hamming must be in [0, 15] for 64-bit pigeonhole blocking")
+    n_pieces = max_hamming + 1
+    base, rem = divmod(64, n_pieces)
+    widths = [base + (1 if i < rem else 0) for i in range(n_pieces)]
+    offsets = [sum(widths[:i]) for i in range(n_pieces)]
     sh = simhash_docs(documents, id_col, text_col)
-    quarters = sh.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, 3), q -> concat(q, ':', (simhash >> (q * 16)) & 65535))"
-            )
-        ).alias("q", "bucket"),
-    )
-    banded = quarters.select("bucket", "doc_id")
+    piece_cols = [
+        F.concat(
+            F.lit(f"{i}:"),
+            F.shiftrightunsigned(F.col("simhash"), offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            .cast("string"),
+        )
+        for i in range(n_pieces)
+    ]
+    banded = sh.select(
+        "doc_id", F.explode(F.array(*piece_cols)).alias("bucket")
+    ).select("bucket", "doc_id")
     pairs = _bounded_bucket_pairs(banded, max_bucket_size)
     sh1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("sh1"))
     sh2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("sh2"))

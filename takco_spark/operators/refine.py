@@ -70,6 +70,7 @@ def refine_clusters(
     pair_sims: DataFrame,
     threshold: float = 0.8,
     source_col: str | None = None,
+    max_group_size: int = 1000,
 ) -> DataFrame:
     """Split coarse CC clusters with complete-linkage at a stricter threshold.
 
@@ -79,7 +80,22 @@ def refine_clusters(
     link is below ``threshold`` split apart — the reference runs exactly this
     two-stage coarse→strict scheme (Louvain partition, then per-partition
     agglomerative at agg_threshold_col).
+
+    Size guard: a coarse cluster with more than ``max_group_size`` members
+    (a giant component — the known CC failure mode on a too-loose threshold)
+    would pack O(k²) sims into one applyInPandas group and run an O(k³)
+    linkage; such clusters PASS THROUGH unrefined (refined_id =
+    '{cluster_id}/0'). The skip is observable via
+    :func:`oversized_refine_stats` — never silent.
     """
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("_csize"))
+    big_ids = sizes.where(F.col("_csize") > max_group_size).select("cluster_id")
+    passthrough = labels.join(F.broadcast(big_ids), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        F.concat(F.col("cluster_id"), F.lit("/0")).alias("refined_id"),
+    )
+    labels = labels.join(F.broadcast(big_ids), "cluster_id", "left_anti")
     l1 = labels.select(
         F.col("doc_id").alias("doc_id_1"), F.col("cluster_id")
     )
@@ -116,8 +132,24 @@ def refine_clusters(
             }
         )
 
-    # one group per coarse cluster; group payload is bounded by G2's rechunk
+    # one group per coarse cluster; group payload bounded by max_group_size
     grouped = joined.groupBy("cluster_id").applyInPandas(
         lambda pdf: run(pdf), REFINE_SCHEMA
     )
-    return grouped
+    return grouped.unionByName(passthrough)
+
+
+def oversized_refine_stats(labels: DataFrame, max_group_size: int) -> dict:
+    """Count clusters/rows skipped by refine_clusters' size guard."""
+    row = (
+        labels.groupBy("cluster_id").agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("clusters"),
+            F.sum((F.col("n") > max_group_size).cast("long")).alias("skipped_clusters"),
+            F.sum(F.when(F.col("n") > max_group_size, F.col("n")).otherwise(0)).alias(
+                "skipped_rows"
+            ),
+        )
+        .collect()[0]
+    )
+    return {k: int(row[k] or 0) for k in ("clusters", "skipped_clusters", "skipped_rows")}

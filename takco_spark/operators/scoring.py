@@ -76,12 +76,17 @@ def tfidf_cosine_for_pairs(pairs: DataFrame, weights: DataFrame) -> DataFrame:
 
 
 def score_pairs(
-    pairs: DataFrame, features: DataFrame, cfg: PipelineConfig
+    pairs: DataFrame, features: DataFrame, cfg: PipelineConfig,
+    embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """Attach features to pairs, compute all matcher scores + aggregate.
 
     Returns (doc_id_1, doc_id_2, block_key, jaccard, lev_sim, jw,
-    [tfidf_cos,] agg_sim), filtered to agg_sim >= cfg.agg_threshold.
+    [tfidf_cos,][emb_cos,] agg_sim), filtered to agg_sim >= cfg.agg_threshold.
+
+    ``embeddings``: optional (doc_id, emb array<double>) — adds the
+    ``emb_cos`` positive-cosine matcher column (reference EmbeddingMatcher
+    vecsim, /root/reference/takco/cluster/matchers/embedding.py:227-246).
     """
     f1 = features.select(
         F.col("doc_id").alias("doc_id_1"),
@@ -128,8 +133,133 @@ def score_pairs(
             "tfidf_cos", F.coalesce(F.col("tfidf_cos"), F.lit(0.0))
         )
         available.add("tfidf_cos")
+    if embeddings is not None:
+        from takco_spark.functions.similarity import cosine
+
+        e1 = embeddings.select(
+            F.col("doc_id").alias("doc_id_1"), F.col("emb").alias("emb_1")
+        )
+        e2 = embeddings.select(
+            F.col("doc_id").alias("doc_id_2"), F.col("emb").alias("emb_2")
+        )
+        scored = (
+            scored.join(e1.hint("shuffle_hash"), "doc_id_1", "left")
+            .join(e2.hint("shuffle_hash"), "doc_id_2", "left")
+            .withColumn(
+                # positive cosine (reference clips at 0, embedding.py:229)
+                "emb_cos",
+                F.when(
+                    F.col("emb_1").isNotNull() & F.col("emb_2").isNotNull(),
+                    F.greatest(cosine(F.col("emb_1"), F.col("emb_2")), F.lit(0.0)),
+                ).otherwise(F.lit(0.0)),
+            )
+            .drop("emb_1", "emb_2")
+        )
+        available.add("emb_cos")
 
     agg = compile_agg_expr(cfg.agg_expr, available)
     return scored.withColumn("agg_sim", agg).where(
         F.col("agg_sim") >= F.lit(cfg.agg_threshold)
+    )
+
+
+def _width_norm_expr(mode: str):
+    """total + (n1, n2) → normalized pair similarity (reference
+    align_width_norm, cluster.py:337-344)."""
+    total = F.col("total")
+    if mode == "jacc":
+        return total / (F.col("n1") + F.col("n2") - total)
+    if mode == "wide":
+        return total / F.greatest("n1", "n2")
+    if mode == "narrow":
+        return total / F.least("n1", "n2")
+    raise ValueError(f"unknown align_width_norm {mode!r}")
+
+
+def score_pairs_aligned(
+    pairs: DataFrame, seg_features: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """A5 as a first-class scoring stage: per candidate pair, score SEGMENT
+    pairs with the same matcher suite, then aggregate sub-similarities into
+    one pair score by greedy 1:1 alignment (soft jaccard) or the
+    pure-DataFrame 'max1' mode.
+
+    Reference: column-pair scores per table pair
+    (yield_blocked_matches → aggregate_match_scores,
+    /root/reference/takco/cluster/cluster.py:346-420) aggregated by
+    greedy_align + aggregate_aligned_column_sims (cluster.py:246-345),
+    invoked from the cluster stage (/root/reference/takco/__init__.py:349-374).
+
+    Output contract matches :func:`score_pairs`:
+    (doc_id_1, doc_id_2, block_key, agg_sim), agg_sim >= cfg.agg_threshold.
+
+    Scale shape: the widening joins are shuffle-hash on the narrow
+    repartitioned pair stream (same rationale as score_pairs); sub-sims of 0
+    are dropped BEFORE the per-pair aggregation — exact, because greedy
+    considers them last and they add 0 — so the per-pair cell list is
+    bounded by the count of actually-similar segment pairs, not n1×n2.
+    """
+    from takco_spark.operators.alignment import greedy_total_udf
+
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    s1 = seg_features.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("seg").alias("l"),
+        F.col("seg_name").alias("name_1"),
+        F.col("seg_tokens").alias("tokens_1"),
+    )
+    s2 = seg_features.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("seg").alias("r"),
+        F.col("seg_name").alias("name_2"),
+        F.col("seg_tokens").alias("tokens_2"),
+    )
+    sub = (
+        pairs.repartition(2 * par, "doc_id_1")
+        .join(s1.hint("shuffle_hash"), "doc_id_1")
+        .join(s2.hint("shuffle_hash"), "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            "block_key",
+            "l",
+            "r",
+            jaccard_tokens(F.col("tokens_1"), F.col("tokens_2")).alias("jaccard"),
+            levenshtein_sim(
+                F.col("name_1"), F.col("name_2"), cfg.lev_max_dist_frac
+            ).alias("lev_sim"),
+            jaro_winkler_udf(F.col("name_1"), F.col("name_2")).alias("jw"),
+        )
+    )
+    seg_agg = compile_agg_expr(cfg.agg_expr, {"jaccard", "lev_sim", "jw"})
+    sub = sub.withColumn("s", seg_agg).where(F.col("s") > 0)
+
+    if cfg.align_mode == "greedy":
+        tot = (
+            sub.groupBy("doc_id_1", "doc_id_2", "block_key")
+            .agg(F.collect_list(F.struct("l", "r", "s")).alias("cells"))
+            .withColumn("total", greedy_total_udf("cells"))
+            .drop("cells")
+        )
+    elif cfg.align_mode == "max1":
+        # each LEFT segment takes its best right match (multi-use of right
+        # segments allowed) — reference 'max1' fast mode, cluster.py:343-345
+        tot = (
+            sub.groupBy("doc_id_1", "doc_id_2", "block_key", "l")
+            .agg(F.max("s").alias("m"))
+            .groupBy("doc_id_1", "doc_id_2", "block_key")
+            .agg(F.sum("m").alias("total"))
+        )
+    else:
+        raise ValueError(f"unknown align_mode {cfg.align_mode!r}")
+
+    counts = seg_features.groupBy("doc_id").agg(F.count("*").alias("n"))
+    n1 = counts.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1"))
+    n2 = counts.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2"))
+    return (
+        tot.join(n1.hint("shuffle_hash"), "doc_id_1")
+        .join(n2.hint("shuffle_hash"), "doc_id_2")
+        .withColumn("agg_sim", _width_norm_expr(cfg.align_width_norm))
+        .where(F.col("agg_sim") >= F.lit(cfg.agg_threshold))
+        .select("doc_id_1", "doc_id_2", "block_key", "agg_sim")
     )

@@ -31,6 +31,21 @@ from takco_spark.sources.checkpoint import CheckpointManager, NullCheckpointMana
 from takco_spark.spans import doc_text_features
 
 
+def config_token(cfg: PipelineConfig) -> str:
+    """Short stable hash of the output-affecting config fields — becomes part
+    of checkpoint stage paths so a changed config never resumes stale stages
+    (checkpoint_dir / run_id themselves don't affect stage outputs)."""
+    import dataclasses
+    import hashlib
+    import json
+
+    d = dataclasses.asdict(cfg)
+    d.pop("checkpoint_dir", None)
+    d.pop("run_id", None)
+    blob = json.dumps(d, sort_keys=True, default=str).encode()
+    return hashlib.sha224(blob).hexdigest()[:12]
+
+
 @dataclass
 class PipelineResult:
     labelled: DataFrame                 # documents + cluster_id (spans intact)
@@ -50,7 +65,8 @@ def run_pipeline(
     unchanged."""
     cfg = cfg or PipelineConfig()
     ckpt = (
-        CheckpointManager(spark, cfg.checkpoint_dir, cfg.run_id)
+        CheckpointManager(spark, cfg.checkpoint_dir, cfg.run_id,
+                          config_token=config_token(cfg))
         if cfg.checkpoint_dir
         else NullCheckpointManager(spark)
     )
@@ -60,10 +76,19 @@ def run_pipeline(
     # features feed both blocking and scoring — cache once, scan twice
     features = features.persist()
 
+    embeddings = None
+    if cfg.use_embedding or "embedding" in cfg.blockers:
+        from takco_spark.operators.embedding import doc_mean_embeddings
+
+        embeddings = doc_mean_embeddings(
+            documents, dim=cfg.embedding_dim, seed=cfg.seed,
+            min_token_len=cfg.min_token_len,
+        ).persist()
+
     blocking_stats: list[dict] = []
 
     def _blocks() -> DataFrame:
-        out, st = block_documents(features, cfg)
+        out, st = block_documents(features, cfg, embeddings=embeddings)
         blocking_stats.extend(s.as_dict() for s in st)
         return out
 
@@ -72,7 +97,16 @@ def run_pipeline(
 
     def _pairs_scored() -> DataFrame:
         pairs = candidate_pairs(blocks)
-        return score_pairs(pairs, features, cfg)
+        if cfg.aligned:
+            from takco_spark.operators.scoring import score_pairs_aligned
+            from takco_spark.spans import doc_segment_features
+
+            seg_features = doc_segment_features(documents, cfg.min_token_len)
+            return score_pairs_aligned(pairs, seg_features, cfg)
+        return score_pairs(
+            pairs, features, cfg,
+            embeddings=embeddings if cfg.use_embedding else None,
+        )
 
     pairs_scored = ckpt.stage(
         "pairs_scored",
@@ -102,10 +136,14 @@ def run_pipeline(
         from takco_spark.operators.refine import refine_clusters
 
         def _refined() -> DataFrame:
+            # belt-and-braces: refine has its own size guard even when the
+            # G2 rechunk is disabled (max_cluster_size=0)
+            guard = cfg.max_cluster_size if cfg.max_cluster_size else 1000
             refined = refine_clusters(
                 components.select("doc_id", "cluster_id"),
                 pairs_scored.select("doc_id_1", "doc_id_2", "agg_sim"),
                 threshold=cfg.refine_threshold,
+                max_group_size=guard,
             )
             return refined.select(
                 "doc_id", F.col("refined_id").alias("cluster_id")

@@ -37,10 +37,16 @@ def _iceberg_available(spark: SparkSession) -> bool:
 class CheckpointManager:
     """Write-once stage store under ``base_dir`` with lineage metrics."""
 
-    def __init__(self, spark: SparkSession, base_dir: str, run_id: str = "run0"):
+    def __init__(self, spark: SparkSession, base_dir: str, run_id: str = "run0",
+                 config_token: str | None = None):
+        """``config_token`` (e.g. a hash of the pipeline config) becomes part
+        of every stage path, so re-running with a CHANGED config against the
+        same checkpoint_dir recomputes instead of silently serving stale
+        artifacts from the previous configuration."""
         self.spark = spark
         self.base_dir = base_dir
         self.run_id = run_id
+        self.config_token = config_token
         os.makedirs(base_dir, exist_ok=True)
         self.use_iceberg = _iceberg_available(spark) and bool(
             spark.conf.get("spark.sql.catalog.takco", None)
@@ -49,7 +55,8 @@ class CheckpointManager:
 
     # -- paths --------------------------------------------------------------
     def stage_path(self, name: str) -> str:
-        return os.path.join(self.base_dir, name)
+        dirname = f"{name}-{self.config_token}" if self.config_token else name
+        return os.path.join(self.base_dir, dirname)
 
     def exists(self, name: str) -> bool:
         p = self.stage_path(name)

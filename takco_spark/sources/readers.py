@@ -62,24 +62,43 @@ def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None,
 
 
 def read_csv_tables(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
-    """CSV source (S3): one document per FILE — each file's rows become the
-    span sequence of a single document, file path as doc_id (the reference
-    turns each CSV file into one table doc). Uses input_file_name() +
-    groupBy — distributed, no driver-side file loop."""
-    raw = spark.read.option("header", str(header).lower()).csv(path)
-    cols = raw.columns
-    cell_expr = F.array(*[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols])
-    lines = raw.select(
-        F.input_file_name().alias("doc_id"), cell_expr.alias("cells")
+    """CSV source (S3): one document per FILE — each file's cells become the
+    span sequence of a single document in row-major READING order, file path
+    as doc_id; row-0 spans are kind='header' when ``header=True``, the rest
+    'cell'.
+
+    Reference semantics: ``TableSet.csvs`` builds
+    ``[[{"text": c} for c in row] for row in csv.reader(f)]`` — file order,
+    row-major (/root/reference/takco/__init__.py:44-62).
+
+    Spark's CSV scan gives no per-file row index, so the order-preserving
+    shape is wholetext read + Arrow-batched ``mapInPandas`` running the
+    stdlib csv parser per file (quoted embedded newlines handled). One file =
+    one input row = one output document; fully distributed, no driver loop.
+    Each table doc is small by construction — wholetext rows are bounded.
+    """
+    import csv as _csv
+    import io
+
+    import pandas as pd
+
+    raw = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("doc_id"), "value"
     )
-    exploded = lines.select(
-        "doc_id", F.posexplode("cells").alias("ci", "text")
-    )
-    spans = exploded.groupBy("doc_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(ci, text))),"
-            " (x, i) -> struct('cell' as kind, x.text as text, '' as media_ref,"
-            " cast(i as int) as offset))"
-        ).alias("spans")
-    )
-    return spans
+
+    def parse(batches):
+        for pdf in batches:
+            spans_col = []
+            for content in pdf["value"]:
+                spans, off = [], 0
+                for ri, row in enumerate(_csv.reader(io.StringIO(content or ""))):
+                    kind = "header" if (header and ri == 0) else "cell"
+                    for c in row:
+                        spans.append(
+                            {"kind": kind, "text": c, "media_ref": "", "offset": off}
+                        )
+                        off += 1
+                spans_col.append(spans)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "spans": spans_col})
+
+    return raw.mapInPandas(parse, schema=DOCUMENT_SCHEMA)

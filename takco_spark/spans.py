@@ -114,6 +114,47 @@ def doc_text_features(documents: DataFrame, min_token_len: int = 2,
     )
 
 
+def doc_segment_features(documents: DataFrame, min_token_len: int = 2,
+                         max_name_len: int = MAX_NAME_LEN) -> DataFrame:
+    """Per-(doc, segment) features for ALIGNED scoring (SURVEY.md A5/J4).
+
+    Segments are the document's sub-structure — the analog of a table's
+    columns in the reference's column-wise matchers
+    (/root/reference/takco/cluster/cluster.py:346-380: scores are computed
+    per column pair, then aligned). In the span model a segment is delimited
+    by 'header' spans: a header starts a new segment (field label + its
+    value spans); spans before any header form segment 0. Media spans are
+    excluded, as in :func:`doc_text_features`.
+
+    Returns (doc_id, seg:int, seg_name, seg_tokens) — same feature contract
+    as doc_text_features but one row per segment. One window + one groupBy,
+    both partitioned by doc_id (segment count per doc is bounded by its
+    header count, so groups stay small at any corpus scale).
+    """
+    from pyspark.sql import Window
+
+    long = explode_spans(documents).where(F.col("kind") != "media")
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    seg = F.sum((F.col("kind") == "header").cast("int")).over(w)
+    grouped = (
+        long.withColumn("seg", seg)
+        .groupBy("doc_id", "seg")
+        .agg(F.array_sort(F.collect_list(F.struct("offset", "text"))).alias("xs"))
+    )
+    return grouped.select(
+        "doc_id",
+        F.col("seg").cast("int").alias("seg"),
+        F.expr(
+            f"substring(array_join(transform(xs, x -> x.text), ' '), 1, {int(max_name_len)})"
+        ).alias("seg_name"),
+        F.expr(
+            f"""array_distinct(filter(
+                  flatten(transform(xs, x -> split(lower(x.text), '\\\\W+'))),
+                  t -> length(t) >= {int(min_token_len)}))"""
+        ).alias("seg_tokens"),
+    )
+
+
 def span_slice(spans_col: str, start: int, end: int) -> "F.Column":
     """F16: slice a span sequence by offset range [start, end) with offsets
     re-based — the LinkedString slice semantics

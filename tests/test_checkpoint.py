@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from takco_spark.config import PipelineConfig
 from takco_spark.datagen import synth_documents
-from takco_spark.plans.pipeline import run_pipeline
+from takco_spark.plans.pipeline import config_token, run_pipeline
 from takco_spark.sources.checkpoint import CheckpointManager
 
 
@@ -41,9 +41,12 @@ def test_pipeline_resume_mid_stage(spark, tmp_path):
         (r["doc_id"], r["cluster_id"]) for r in res1.components.collect()
     )
 
-    # simulate a crash before the components stage was written
-    shutil.rmtree(f"{base}/components")
+    # simulate a crash before the components stage was written (stage paths
+    # carry the config token so a changed config can't serve stale artifacts)
+    tok = config_token(cfg)
+    shutil.rmtree(f"{base}/components-{tok}")
     cfg2 = PipelineConfig(checkpoint_dir=base, run_id="runB")
+    assert config_token(cfg2) == tok  # run_id doesn't affect the token
     res2 = run_pipeline(spark, docs, cfg2)
     out2 = sorted(
         (r["doc_id"], r["cluster_id"]) for r in res2.components.collect()
@@ -57,3 +60,21 @@ def test_pipeline_resume_mid_stage(spark, tmp_path):
     assert any(r["stage"] == "blocks" and r["skipped"] for r in runb)
     assert any(r["stage"] == "pairs_scored" and r["skipped"] for r in runb)
     assert any(r["stage"] == "components" and not r["skipped"] for r in runb)
+
+
+def test_changed_config_does_not_resume_stale_stages(spark, tmp_path):
+    """Re-running with a different output-affecting config against the same
+    checkpoint_dir recomputes every stage instead of serving stale artifacts
+    (ADVICE r1: config hash in the stage path)."""
+    base = str(tmp_path / "pipe2")
+    docs = synth_documents(spark, 60, seed=42).select("doc_id", "spans")
+    cfg_a = PipelineConfig(checkpoint_dir=base, run_id="A", agg_threshold=0.60)
+    cfg_b = PipelineConfig(checkpoint_dir=base, run_id="B", agg_threshold=0.95)
+    assert config_token(cfg_a) != config_token(cfg_b)
+    run_pipeline(spark, docs, cfg_a)
+    res_b = run_pipeline(spark, docs, cfg_b)
+    res_b.components.count()
+    ckpt = CheckpointManager(spark, base, "inspect")
+    # the cfg_b run recomputed (not skipped) every stage
+    runb = [r for r in ckpt.lineage() if r["run_id"] == cfg_b.run_id]
+    assert runb and all(not r["skipped"] for r in runb)

@@ -190,7 +190,7 @@ def test_minhash_buckets_find_planted_near_dups(spark, dup_docs):
 
 
 def test_simhash_near_pairs(spark, dup_docs):
-    pairs = dedup.simhash_near_pairs(dup_docs, max_hamming=16)
+    pairs = dedup.simhash_near_pairs(dup_docs, max_hamming=15)
     got = {(r["doc_id_1"], r["doc_id_2"]): r["hamming"] for r in pairs.collect()}
     # planted near-dups differ by one token → small Hamming distance
     planted = {(f"a{i:03d}", f"b{i:03d}") for i in range(10)}

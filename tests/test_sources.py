@@ -51,7 +51,23 @@ def test_csv_file_becomes_one_document(spark, tmp_path):
     by_file = {os.path.basename(r["doc_id"]): r["spans"] for r in rows}
     t1 = by_file["t1.csv"]
     assert [s["offset"] for s in t1] == list(range(len(t1)))
-    assert {s["text"] for s in t1} == {"Amsterdam", "872680", "Utrecht", "361924"}
+    # span text order == file cell order, row-major (reference TableSet.csvs)
+    assert [s["text"] for s in t1] == [
+        "name", "pop", "Amsterdam", "872680", "Utrecht", "361924"]
+    # row 0 is the header row
+    assert [s["kind"] for s in t1] == ["header"] * 2 + ["cell"] * 4
+
+
+def test_csv_quoted_newlines_and_order(spark, tmp_path):
+    d = tmp_path / "csvq"
+    os.makedirs(d)
+    (d / "q.csv").write_text('a,b\n"line1\nline2",x\nlast,y\n')
+    rows = readers.read_csv_tables(spark, str(d)).collect()
+    assert len(rows) == 1
+    spans = rows[0]["spans"]
+    assert [s["text"] for s in spans] == ["a", "b", "line1\nline2", "x", "last", "y"]
+    assert [s["kind"] for s in spans] == ["header", "header", "cell", "cell", "cell", "cell"]
+    assert [s["offset"] for s in spans] == list(range(6))
 
 
 def test_parquet_artifact_store(spark, tmp_path):
