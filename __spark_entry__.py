@@ -350,6 +350,89 @@ def q_emb_pair_scores(spark, sf_dir):
     )
 
 
+def q_compound_split(spark, sf_dir):
+    """F17 compound split, oracled: group-wise common-prefix detection via
+    the min/max trick + anchored strip (reference PrefixCompoundSplitter,
+    /root/reference/takco/reshape/compound.py:113-125). Groups are synthetic
+    thirds of part; every group's p_brand shares the 'Brand#' prefix."""
+    from takco_spark.operators.reshape import compound_split
+
+    p = _t(spark, sf_dir, "part").select(
+        (F.col("p_partkey") % 3).cast("string").alias("col"),
+        F.col("p_brand").alias("text"),
+        "p_partkey",
+    )
+    out = compound_split(p, group_col="col", text_col="text", mode="prefix")
+    return out.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.col("col").alias("grp"),
+        "affix",
+        "stripped",
+    )
+
+
+def q_pr_curve(spark, sf_dir):
+    """PR-curve / threshold-sweep evaluation, oracled (reference
+    evaluate/score.py:32-47): score = scaled order price, gold = urgent
+    priority; precision/recall at every distinct rounded threshold."""
+    from takco_spark.plans.metrics import pr_curve
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") / 600000.0, 3).alias("score"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_match"),
+    )
+    out = pr_curve(o, digits=3)
+    return out.select(
+        F.round("threshold", 3).alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.round("precision", 6).alias("prec_r"),
+        F.round("recall", 6).alias("rec_r"),
+    )
+
+
+def q_nary_best_property(spark, sf_dir):
+    """A13 n-ary property election, oracled: lineitem rows emit
+    (from_col, to_col, prop) 'row facts'; each to_col elects its best
+    (from_col, prop) scored by count/n_rows (reference
+    NaryIntegrator.integrate, /root/reference/takco/link/integrate.py:33-75)."""
+    from takco_spark.operators.integrate import nary_property_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    n_rows = li.count()
+    matches = li.select(
+        F.concat(F.lit("s"), (F.col("l_suppkey") % 5).cast("string")).alias("from_col"),
+        F.concat(F.lit("p"), (F.col("l_partkey") % 7).cast("string")).alias("to_col"),
+        F.col("l_returnflag").alias("prop"),
+    )
+    out = nary_property_agg(matches, n_rows)
+    return out.select("to_col", "from_col", "prop",
+                      F.round("score", 6).alias("score_r"))
+
+
+def q_salience(spark, sf_dir):
+    """A15 salience election, oracled: per market segment, the most salient
+    nation — candidate count normalized by the nation's global frequency + 1,
+    coverage floor 5% (reference prop/class salience,
+    /root/reference/takco/link/linkers.py:270-313,388-406)."""
+    from takco_spark.operators.integrate import salience_counts
+
+    cust = _t(spark, sf_dir, "customer")
+    candidates = cust.select(
+        F.col("c_mktsegment").alias("col"),
+        F.col("c_nationkey").cast("long").alias("item"),
+    )
+    global_counts = cust.groupBy(
+        F.col("c_nationkey").cast("long").alias("item")
+    ).agg(F.count("*").alias("total"))
+    out = salience_counts(candidates, global_counts, cover=0.05)
+    return out.where(F.col("rk") == 1).select(
+        "col", "item", F.col("n").alias("n_cand"),
+        F.round("salience", 6).alias("salience_r"),
+    )
+
+
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
 def q_ngram_jaccard_capped(spark, sf_dir):
@@ -431,6 +514,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "er_cc": q_er_cc,
         "emb_pair_scores": q_emb_pair_scores,
+        "nary_best_property": q_nary_best_property,
+        "salience": q_salience,
+        "pr_curve": q_pr_curve,
+        "compound_split": q_compound_split,
         # rows-only (no oracle possible: seeded-hash / pipeline internals)
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -657,6 +744,92 @@ def oracle_sql() -> dict[str, str]:
               FROM reach GROUP BY node)
             SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        """,
+        "compound_split": """
+            WITH cells AS (
+              SELECT CAST(p_partkey % 3 AS VARCHAR) AS grp, p_brand AS text,
+                     p_partkey
+              FROM part),
+            agg AS (
+              SELECT grp, min(text) AS lo, max(text) AS hi, count(*) AS n_rows
+              FROM cells GROUP BY grp),
+            series AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 64) t(i)),
+            cp AS (
+              SELECT grp, lo,
+                     max(CASE WHEN i <= least(length(lo), length(hi))
+                              AND substring(lo, 1, i) = substring(hi, 1, i)
+                         THEN i ELSE 0 END) AS cp_len
+              FROM agg CROSS JOIN series GROUP BY grp, lo),
+            affixes AS (
+              SELECT grp, substring(lo, 1, CAST(cp_len AS INT)) AS affix
+              FROM cp WHERE cp_len > 0)
+            SELECT CAST(c.p_partkey AS BIGINT) AS p_partkey, c.grp,
+                   coalesce(a.affix, '') AS affix,
+                   CASE WHEN a.affix IS NOT NULL AND starts_with(c.text, a.affix)
+                        THEN substring(c.text, length(a.affix) + 1)
+                        ELSE c.text END AS stripped
+            FROM cells c LEFT JOIN affixes a ON c.grp = a.grp
+        """,
+        "pr_curve": """
+            WITH scored AS (
+              SELECT round(o_totalprice / 600000.0, 3) AS threshold,
+                     CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+              FROM orders),
+            per AS (
+              SELECT threshold, sum(pos) AS tp_at, count(*) AS n_at
+              FROM scored GROUP BY threshold),
+            cum AS (
+              SELECT threshold,
+                     sum(tp_at) OVER (ORDER BY threshold DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+                     sum(n_at) OVER (ORDER BY threshold DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+              FROM per)
+            SELECT round(threshold, 3) AS threshold,
+                   CAST(cum_tp AS BIGINT) AS tp,
+                   CAST(cum_n - cum_tp AS BIGINT) AS fp,
+                   CAST((SELECT sum(pos) FROM scored) - cum_tp AS BIGINT) AS fn,
+                   round(cum_tp * 1.0 / cum_n, 6) AS prec_r,
+                   round(cum_tp * 1.0 / (SELECT sum(pos) FROM scored), 6) AS rec_r
+            FROM cum
+        """,
+        "nary_best_property": """
+            WITH matches AS (
+              SELECT 's' || CAST(l_suppkey % 5 AS VARCHAR) AS from_col,
+                     'p' || CAST(l_partkey % 7 AS VARCHAR) AS to_col,
+                     l_returnflag AS prop
+              FROM lineitem),
+            counts AS (
+              SELECT to_col, from_col, prop, count(*) AS n
+              FROM matches GROUP BY 1, 2, 3),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY to_col ORDER BY n DESC, from_col, prop) AS rk
+              FROM counts)
+            SELECT to_col, from_col, prop,
+                   round(n / (SELECT count(*) FROM lineitem), 6) AS score_r
+            FROM ranked WHERE rk = 1
+        """,
+        "salience": """
+            WITH cands AS (
+              SELECT c_mktsegment AS col, CAST(c_nationkey AS BIGINT) AS item
+              FROM customer),
+            globals AS (SELECT item, count(*) AS total FROM cands GROUP BY item),
+            counts AS (
+              SELECT col, item, count(*) AS n,
+                     (SELECT count(*) FROM cands c2 WHERE c2.col = cands.col) AS ntot
+              FROM cands GROUP BY col, item),
+            scored AS (
+              SELECT col, item, n, n * 1.0 / (total + 1) AS salience
+              FROM counts JOIN globals USING (item)
+              WHERE n >= ntot * 0.05),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY col ORDER BY salience DESC, item) AS rk
+              FROM scored)
+            SELECT col, item, CAST(n AS BIGINT) AS n_cand,
+                   round(salience, 6) AS salience_r
+            FROM ranked WHERE rk = 1
         """,
         "emb_pair_scores": """
             WITH toks AS (

@@ -93,6 +93,48 @@ def labeled_pairs_f1(pred: DataFrame, labeled_pairs: DataFrame) -> PRF1:
     return PRF1(tp=float(agg["tp"] or 0), fp=float(agg["fp"] or 0), fn=float(agg["fn"] or 0))
 
 
+def pr_curve(scored: DataFrame, score_col: str = "score",
+             label_col: str = "is_match", digits: int = 6) -> DataFrame:
+    """Precision/recall at every distinct score threshold — the reference's
+    PR-curve evaluation (sklearn precision_recall_curve semantics,
+    /root/reference/takco/evaluate/score.py:32-47): predictions with
+    score >= t count positive at threshold t.
+
+    Scale shape: the pair stream is AGGREGATED per rounded score first (one
+    shuffle keyed on score); the cumulative window then runs over the small
+    distinct-threshold table only (bounded by 10^digits, never by pair
+    count) — a global-order window over the raw pairs would serialize.
+
+    Returns (threshold, tp, fp, fn, precision, recall) sorted desc.
+    """
+    from pyspark.sql import Window
+
+    sc = F.round(F.col(score_col), digits).alias("threshold")
+    lab = F.col(label_col).cast("int")
+    per = scored.select(sc, lab.alias("pos")).groupBy("threshold").agg(
+        F.sum("pos").alias("tp_at"), F.count("*").alias("n_at")
+    )
+    w = Window.orderBy(F.desc("threshold")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    totals = per.agg(F.sum("tp_at").alias("total_pos")).select("total_pos")
+    cum = per.select(
+        "threshold",
+        F.sum("tp_at").over(w).alias("cum_tp"),
+        F.sum("n_at").over(w).alias("cum_n"),
+    )
+    return cum.crossJoin(F.broadcast(totals)).select(
+        "threshold",
+        F.col("cum_tp").alias("tp"),
+        (F.col("cum_n") - F.col("cum_tp")).alias("fp"),
+        (F.col("total_pos") - F.col("cum_tp")).alias("fn"),
+        (F.col("cum_tp") / F.col("cum_n")).alias("precision"),
+        F.when(F.col("total_pos") > 0,
+               F.col("cum_tp") / F.col("total_pos")).otherwise(F.lit(1.0)
+               ).alias("recall"),
+    )
+
+
 def novelty_counts(kinds: DataFrame, gold: DataFrame, pred: DataFrame) -> DataFrame:
     """A12 — novelty counting by set algebra, join-based.
 

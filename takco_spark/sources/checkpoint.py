@@ -78,7 +78,7 @@ class CheckpointManager:
                            extra: dict | None) -> None:
         """One lineage row per file partition of the written stage (cheap: a
         count over parquet footers grouped by input file)."""
-        df = self.spark.read.parquet(self.stage_path(name))
+        df = self._read_stage(name)
         per_part = (
             df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows"))
@@ -124,17 +124,46 @@ class CheckpointManager:
         if self.exists(name):
             self._partition_metrics(name, wall_ms=0, skipped=True,
                                     extra=extra_metrics)
-            return self.spark.read.parquet(path)
+            return self._read_stage(name)
         t0 = time.time()
         df = compute()
         writer = df
         if repartition_by:
             writer = df.repartition(*repartition_by)
-        writer.write.mode("overwrite").parquet(path)
+        self._write_stage(writer, name)
         wall_ms = int((time.time() - t0) * 1000)
         self._partition_metrics(name, wall_ms=wall_ms, skipped=False,
                                 extra=extra_metrics)
-        return self.spark.read.parquet(path)
+        return self._read_stage(name)
+
+    # -- storage dispatch -----------------------------------------------------
+    def _table_ident(self, name: str) -> str:
+        tok = f"_{self.config_token}" if self.config_token else ""
+        return f"takco.stages.{name}{tok}"
+
+    def _write_stage(self, df: DataFrame, name: str) -> None:
+        """Iceberg ``writeTo`` when the catalog probe succeeded (a cluster
+        with iceberg-spark-runtime and ``spark.sql.catalog.takco``
+        configured — snapshots give time-travel over stage artifacts), else
+        the parquet directory fallback. This sandbox has NO Iceberg runtime
+        jar (documented downgrade, TESTDATA.md): ``use_iceberg`` is always
+        False here and the fallback path is the one under test; the Iceberg
+        branch is exercised only by the probe test pinning the dispatch."""
+        if self.use_iceberg:
+            self.spark.sql(
+                "CREATE NAMESPACE IF NOT EXISTS takco.stages"
+            )
+            df.writeTo(self._table_ident(name)).createOrReplace()
+            # the _SUCCESS convention still drives exists(): mirror a marker
+            os.makedirs(self.stage_path(name), exist_ok=True)
+            open(os.path.join(self.stage_path(name), "_SUCCESS"), "w").close()
+        else:
+            df.write.mode("overwrite").parquet(self.stage_path(name))
+
+    def _read_stage(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(self._table_ident(name))
+        return self.spark.read.parquet(self.stage_path(name))
 
 
 class NullCheckpointManager:

@@ -105,3 +105,36 @@ def test_no_row_udfs_in_package():
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert out.stdout.strip() == "", f"row UDFs found:\n{out.stdout}"
+
+
+def test_compound_split_suffix(spark):
+    """F17: group-wise common suffix detected via the min/max trick and
+    stripped anchored (reference SuffixCompoundSplitter,
+    reshape/compound.py:97-111)."""
+    from takco_spark.operators.reshape import compound_affixes, compound_split
+
+    cells = spark.createDataFrame(
+        [("a", "12 kg"), ("a", "7 kg"), ("a", "913 kg"),
+         ("b", "red"), ("b", "blue")],
+        "col string, text string",
+    )
+    aff = {r["grp"]: r["affix"] for r in
+           compound_affixes(cells, mode="suffix").collect()}
+    assert aff == {"a": " kg"}  # group b has no common suffix
+    out = {(r["col"], r["text"]): (r["affix"], r["stripped"])
+           for r in compound_split(cells, mode="suffix").collect()}
+    assert out[("a", "12 kg")] == (" kg", "12")
+    assert out[("a", "913 kg")] == (" kg", "913")
+    assert out[("b", "red")] == ("", "red")  # untouched pass-through
+
+
+def test_compound_split_prefix(spark):
+    from takco_spark.operators.reshape import compound_split
+
+    cells = spark.createDataFrame(
+        [("a", "Brand#12"), ("a", "Brand#34"), ("a", "Brand#3")],
+        "col string, text string",
+    )
+    rows = compound_split(cells, mode="prefix").collect()
+    assert {r["stripped"] for r in rows} == {"12", "34", "3"}
+    assert all(r["affix"] == "Brand#" for r in rows)
