@@ -74,6 +74,16 @@ def get_spark(
     master = master or _default_master()
     builder = SparkSession.builder.appName(app_name).master(master)
     confs = dict(DEFAULT_CONFS)
+    # Shuffle/spill files on the fastest local storage available. This host's
+    # /tmp sits on a CONTENDED virtual disk (noisy neighbors); /dev/shm is a
+    # large empty tmpfs. On a real cluster spark.local.dir points at the
+    # executors' local SSDs — same knob, same reasoning.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        confs["spark.local.dir"] = local_dir
     # In local mode every "executor" thread lives in the driver JVM — the 1g
     # default heap causes GC collapse at high parallelism. Only effective for
     # the process's FIRST JVM (bench runs each parallelism level in a fresh
