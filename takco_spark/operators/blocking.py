@@ -220,12 +220,29 @@ def block_documents(
     ``embeddings``: (doc_id, emb) table required by the 'embedding' blocker
     (random-hyperplane buckets — the FAISS-blocking analog, SURVEY.md J3).
     """
+    # the token key stream is shared: it feeds the union AND (persisted) the
+    # hot-token derivation for the minhash exclude list — one explode, one
+    # sizes groupBy, instead of a separate global_hot_tokens scan
+    tb: DataFrame | None = None
+    if "minhash" in cfg.blockers and "token" in cfg.blockers:
+        tb = token_blocks(features, cfg).persist()
+
     parts: list[DataFrame] = []
     for blocker in cfg.blockers:
         if blocker == "token":
-            parts.append(token_blocks(features, cfg))
+            parts.append(tb if tb is not None else token_blocks(features, cfg))
         elif blocker == "minhash":
-            hot = global_hot_tokens(features, cfg)
+            if tb is not None:
+                rows = (
+                    tb.groupBy("block_key").agg(F.count("*").alias("df"))
+                    .where(F.col("df") > cfg.max_block_size)
+                    .select(F.expr("substring(block_key, 5)").alias("token"))
+                    .limit(100_001)
+                    .collect()
+                )
+                hot = [r["token"] for r in rows][:100_000]
+            else:
+                hot = global_hot_tokens(features, cfg)
             parts.append(minhash_blocks(features, cfg, exclude_tokens=hot))
         elif blocker == "embedding":
             if embeddings is None:

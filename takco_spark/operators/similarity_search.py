@@ -91,10 +91,14 @@ def make_hyperplane_udf(dim: int, n_bits: int, seed: int):
 
 def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int = 5, n_bits: int = 8,
             seed: int = 42, id_col: str = "vec_id",
-            vec_col: str = "embedding") -> DataFrame:
+            vec_col: str = "embedding", dim: int | None = None) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane buckets → candidates →
-    exact re-rank. Recall < 1 by design; raise tables/lower bits to trade."""
-    dim = len(corpus.select(vec_col).first()[0])
+    exact re-rank. Recall < 1 by design; raise tables/lower bits to trade.
+
+    ``dim``: vector dimensionality. Pass it when known (schema metadata /
+    config); None falls back to reading one corpus row (one small job)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     udf = make_hyperplane_udf(dim, n_bits, seed)
 
     def bucketed(df, idname):

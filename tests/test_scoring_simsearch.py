@@ -117,3 +117,38 @@ def test_streaming_ingest_exactly_once(spark, tmp_path):
     got = spark.read.parquet(str(bronze))
     assert got.count() == 8
     assert got.select("doc_id").distinct().count() == 8
+
+
+def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState custom stateful op: each distinct fingerprint
+    surfaces exactly once over the stream lifetime, including across a
+    restart (state persisted in the streaming checkpoint)."""
+    import json
+    import os
+
+    from takco_spark.streaming.ingest import dedup_documents_stream
+
+    landing = tmp_path / "landing"; os.makedirs(landing)
+    out = tmp_path / "out"; ck = tmp_path / "ck"
+
+    def doc(doc_id, text):
+        return json.dumps({
+            "doc_id": doc_id,
+            "spans": [{"kind": "cell", "text": t, "media_ref": "", "offset": i}
+                      for i, t in enumerate(text.split())],
+        })
+
+    (landing / "b1.jsonl").write_text(
+        doc("a", "red fox") + "\n" + doc("b", "red fox") + "\n" + doc("c", "blue owl") + "\n")
+    q = dedup_documents_stream(spark, str(landing), str(out), str(ck))
+    q.awaitTermination(120)
+    rows1 = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert rows1 == {"a", "c"}  # b deduped within the batch
+
+    # restart with new files: duplicate of 'a' suppressed ACROSS batches
+    (landing / "b2.jsonl").write_text(
+        doc("d", "red fox") + "\n" + doc("e", "green elk") + "\n")
+    q2 = dedup_documents_stream(spark, str(landing), str(out), str(ck))
+    q2.awaitTermination(120)
+    rows2 = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert rows2 == {"a", "c", "e"}, rows2
