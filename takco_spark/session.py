@@ -93,7 +93,12 @@ def get_spark(
         inner = master[len("local[") : -1]
         try:
             cores = os.cpu_count() or 8 if inner == "*" else int(inner)
-            shuffle_partitions = max(8, 2 * cores)
+            # 4× cores: bounds the straggler tail (one slow partition idles
+            # the rest for 1/(4·cores) of the stage, not 1/cores); AQE
+            # coalesces byte-small stages back down, parallelismFirst keeps
+            # CPU-heavy ones wide. Cluster guidance unchanged (2-3× total
+            # executor cores).
+            shuffle_partitions = max(16, 4 * cores)
         except ValueError:
             shuffle_partitions = 64
     if shuffle_partitions is not None:

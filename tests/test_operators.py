@@ -196,3 +196,35 @@ def test_simhash_near_pairs(spark, dup_docs):
     planted = {(f"a{i:03d}", f"b{i:03d}") for i in range(10)}
     found = planted & set(got)
     assert len(found) >= 8  # SimHash is approximate; most planted pairs found
+
+
+def test_simhash_pigeonhole_piece_guarantee():
+    """ADVICE r1 counterexample class: pairs whose differing bits are spread
+    across ALL old 16-bit quarters. The general pigeonhole split
+    (max_hamming+1 pieces) must still give every Hamming<=d pair one exactly
+    shared piece. Pure-python brute force over adversarial bit layouts —
+    mirrors the piece arithmetic in dedup.simhash_near_pairs."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    for d in (3, 4, 8, 15):
+        n_pieces = d + 1
+        base, rem = divmod(64, n_pieces)
+        widths = [base + (1 if i < rem else 0) for i in range(n_pieces)]
+        offsets = [sum(widths[:i]) for i in range(n_pieces)]
+
+        def pieces(x):
+            return [
+                (x >> offsets[i]) & ((1 << widths[i]) - 1)
+                for i in range(n_pieces)
+            ]
+
+        for _ in range(200):
+            x = rng.getrandbits(64)
+            flip_bits = rng.sample(range(64), d)  # Hamming exactly d
+            y = x
+            for bit in flip_bits:
+                y ^= 1 << bit
+            px, py = pieces(x), pieces(y)
+            assert any(a == b for a, b in zip(px, py)), (d, flip_bits)
