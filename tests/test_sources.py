@@ -77,3 +77,110 @@ def test_parquet_artifact_store(spark, tmp_path):
     assert back.count() == 100
     # partition pruning works on the layout
     assert back.where("bucket = 3").count() == df.where("id % 7 = 3").count()
+
+
+def test_html_tables_grid_expansion_pure():
+    """S9 parser semantics without Spark: colspan/rowspan expand into a dense
+    replicated grid (reference Extractor.parse, htmltables.py:50-140)."""
+    from takco_spark.sources.html_tables import tables_from_html
+
+    html = """
+    <html><body><p>noise</p>
+    <table>
+      <tr><th>h1</th><th colspan="2">h23</th></tr>
+      <tr><td rowspan="2">a</td><td>b</td><td><a href="/x">X</a></td></tr>
+      <tr><td>c</td><td>d</td></tr>
+    </table>
+    <table><tr><td>only</td></tr></table>
+    </body></html>"""
+    grids = tables_from_html(html)
+    assert len(grids) == 2
+    g = grids[0]
+    texts = [[" ".join(c.text).strip() if c else None for c in row] for row in g]
+    assert texts == [["h1", "h23", "h23"], ["a", "b", "X"], ["a", "c", "d"]]
+    assert g[0][0].header and g[0][1].header and not g[1][0].header
+    assert g[1][2].href == "/x"
+
+
+def test_read_html_tables_documents(spark, tmp_path):
+    d = tmp_path / "pages"
+    os.makedirs(d)
+    (d / "p1.html").write_text(
+        "<table><tr><th>name</th><th>pop</th></tr>"
+        "<tr><td><a href='/Q1'>Amsterdam</a></td><td>872680</td></tr></table>"
+        "<table><tr><td>second</td></tr></table>"
+    )
+    from takco_spark.sources.html_tables import read_html_tables
+
+    rows = read_html_tables(spark, str(d)).collect()
+    assert len(rows) == 2  # one document per table
+    by_id = {r["doc_id"].split("#")[-1]: r["spans"] for r in rows}
+    t0 = by_id["t0"]
+    assert [s["text"] for s in t0] == ["name", "pop", "Amsterdam", "872680"]
+    assert [s["kind"] for s in t0] == ["header", "header", "mention", "cell"]
+    assert t0[2]["media_ref"] == "/Q1"
+    assert [s["offset"] for s in t0] == [0, 1, 2, 3]
+    assert [s["text"] for s in by_id["t1"]] == ["second"]
+
+
+def _make_warc(records):
+    """Build a minimal WARC/1.0 byte stream of response records."""
+    out = b""
+    for url, html in records:
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html.encode()
+        head = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+        )
+        out += head + b"\r\n" + http + b"\r\n\r\n"
+    return out
+
+
+def test_warc_pages_and_table_composition(spark, tmp_path):
+    """S8 WarcPages → S9 tables: response records parsed (incl. ?about=
+    split, gzip member), HTTP headers stripped, tables become documents."""
+    import gzip
+
+    d = tmp_path / "warcs"
+    os.makedirs(d)
+    html1 = "<table><tr><th>h</th></tr><tr><td>v</td></tr></table>"
+    raw = _make_warc([
+        ("http://ex.org/a?about=http://kb/E1", html1),
+        ("http://ex.org/b", "<p>no tables here</p>"),
+    ])
+    (d / "x.warc").write_bytes(raw)
+    (d / "y.warc.gz").write_bytes(gzip.compress(_make_warc([
+        ("http://ex.org/c", "<table><tr><td>z</td></tr></table>"),
+    ])))
+
+    from takco_spark.sources.html_tables import html_pages_to_documents
+    from takco_spark.sources.pages import read_warc_pages
+
+    pages = read_warc_pages(spark, str(d))
+    rows = {r["url"]: r for r in pages.collect()}
+    assert set(rows) == {"http://ex.org/a", "http://ex.org/b", "http://ex.org/c"}
+    assert rows["http://ex.org/a"]["about"] == "http://kb/E1"
+    assert rows["http://ex.org/a"]["html"] == html1  # HTTP headers stripped
+
+    docs = html_pages_to_documents(pages).collect()
+    by_id = {r["doc_id"]: [s["text"] for s in r["spans"]] for r in docs}
+    assert by_id == {"http://ex.org/a#t0": ["h", "v"], "http://ex.org/c#t0": ["z"]}
+
+
+def test_line_pages(spark, tmp_path):
+    import json
+
+    d = tmp_path / "lines"
+    os.makedirs(d)
+    (d / "p.txt").write_text(
+        "http://w/Amsterdam " + json.dumps("<table><tr><td>x</td></tr></table>") + "\n"
+        "http://w/Utrecht " + json.dumps("<b>no table</b>") + "\n"
+    )
+    from takco_spark.sources.pages import read_line_pages
+
+    pages = read_line_pages(spark, str(d), title_regex=r"^http://w/(.+)$")
+    rows = {r["url"]: r for r in pages.collect()}
+    assert rows["http://w/Amsterdam"]["about"] == "Amsterdam"
+    assert rows["http://w/Amsterdam"]["html"].startswith("<table>")
