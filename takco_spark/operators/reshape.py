@@ -1,4 +1,5 @@
-"""Compound-column splitting (SURVEY.md F17).
+"""Reshape operators: compound splitting (F17), pivot finders (F18),
+transpose heuristic (F20).
 
 Reference: Suffix/PrefixCompoundSplitter
 (/root/reference/takco/reshape/compound.py:97-125) — per column, find the
@@ -56,6 +57,67 @@ def compound_affixes(cells: DataFrame, group_col: str = "col",
     )
     return cover.where(F.col("cover") > min_cover).select(
         "grp", "affix", "n_rows", "cover"
+    )
+
+
+#: F18 pivot regexes (reference NumSuffix/NumPrefix,
+#: /root/reference/takco/reshape/findpivot.py:332-347 — named groups become
+#: numbered groups for regexp_extract): (pattern, var_group, val_group)
+PIVOT_FINDERS: dict[str, tuple[str, int, int]] = {
+    "num_suffix": (r"(.*)(?:^|\s)[\W\s]*(\d[\W\d]*?)[\W\s]*$", 1, 2),
+    "num_prefix": (r"[\W\s]*(\d[\W\d]*)(?:$|\s)(.*)", 2, 1),
+}
+
+
+def find_pivot_cells(headers: DataFrame, finder: str = "num_suffix",
+                     text_col: str = "text") -> DataFrame:
+    """F18: regex pivot finder over header cells.
+
+    headers(..., text) → matching rows with extracted (pivot_var, pivot_val)
+    columns — the split that drives the unpivot (reference
+    RegexFinder.find_pivot_cells + split_header,
+    /root/reference/takco/reshape/findpivot.py:280-330): a header like
+    'sales 2004' splits into var='sales' (new header) and val='2004' (a
+    value of the unpivoted variable). Pure ``regexp_extract`` projection.
+    """
+    if finder not in PIVOT_FINDERS:
+        raise ValueError(f"unknown pivot finder {finder!r}")
+    pattern, var_g, val_g = PIVOT_FINDERS[finder]
+    t = F.trim(F.col(text_col))
+    matched = headers.where(t.rlike(pattern))
+    return matched.withColumn(
+        "pivot_var", F.trim(F.regexp_extract(t, pattern, var_g))
+    ).withColumn("pivot_val", F.trim(F.regexp_extract(t, pattern, val_g)))
+
+
+def heuristic_transpose(documents: DataFrame) -> DataFrame:
+    """F20: transpose 1×2 tables (reference heuristic_transpose,
+    /root/reference/takco/reshape/clean.py:327-339): a document whose spans
+    are exactly [header h1, header h2, cell a, cell b] (one data row, two
+    columns) becomes the two-row key-value layout
+    [h1, a, h2, b] — all spans demoted to 'cell' (n_header_rows=0), offsets
+    re-based. Everything else passes through untouched. Pure Column algebra.
+    """
+    ordered = (
+        "array_sort(spans, (a, b) -> case when a.offset < b.offset then -1 "
+        "when a.offset > b.offset then 1 else 0 end)"
+    )
+    is_1x2 = F.expr(
+        f"size(spans) = 4 AND size(filter({ordered}, s -> s.kind = 'header')) = 2"
+        f" AND size(filter({ordered}, s -> s.kind = 'cell')) = 2"
+    )
+    transposed = F.expr(f"""
+      transform(
+        array(element_at(filter({ordered}, s -> s.kind = 'header'), 1),
+              element_at(filter({ordered}, s -> s.kind = 'cell'), 1),
+              element_at(filter({ordered}, s -> s.kind = 'header'), 2),
+              element_at(filter({ordered}, s -> s.kind = 'cell'), 2)),
+        (s, i) -> named_struct('kind', 'cell', 'text', s.text,
+                               'media_ref', s.media_ref,
+                               'offset', cast(i as int)))
+    """)
+    return documents.withColumn(
+        "spans", F.when(is_1x2, transposed).otherwise(F.col("spans"))
     )
 
 

@@ -138,3 +138,46 @@ def test_compound_split_prefix(spark):
     rows = compound_split(cells, mode="prefix").collect()
     assert {r["stripped"] for r in rows} == {"12", "34", "3"}
     assert all(r["affix"] == "Brand#" for r in rows)
+
+
+def test_find_pivot_cells_num_suffix_prefix(spark):
+    """F18: regex pivot finders split 'var val' header cells (reference
+    NumSuffix/NumPrefix, findpivot.py:332-347)."""
+    from takco_spark.operators.reshape import find_pivot_cells
+
+    heads = spark.createDataFrame(
+        [("d1", 0, "sales 2004"), ("d1", 1, "sales 2005"),
+         ("d1", 2, "region"), ("d2", 0, "2004 sales")],
+        "doc_id string, ci int, text string",
+    )
+    suf = {(r["doc_id"], r["ci"]): (r["pivot_var"], r["pivot_val"])
+           for r in find_pivot_cells(heads, "num_suffix").collect()}
+    assert suf == {("d1", 0): ("sales", "2004"), ("d1", 1): ("sales", "2005")}
+    pre = {(r["doc_id"], r["ci"]): (r["pivot_var"], r["pivot_val"])
+           for r in find_pivot_cells(heads, "num_prefix").collect()}
+    assert pre[("d2", 0)] == ("sales", "2004")
+
+
+def test_heuristic_transpose_1x2(spark):
+    """F20: only 1-data-row × 2-col docs transpose; others untouched."""
+    from takco_spark.operators.reshape import heuristic_transpose
+
+    from takco_spark.spans import DOCUMENT_SCHEMA
+
+    def doc(doc_id, kinds_texts):
+        return {"doc_id": doc_id, "spans": [
+            {"kind": k, "text": t, "media_ref": "", "offset": i}
+            for i, (k, t) in enumerate(kinds_texts)]}
+
+    docs = spark.createDataFrame([
+        doc("t", [("header", "name"), ("header", "pop"),
+                  ("cell", "Ams"), ("cell", "872")]),
+        doc("u", [("header", "a"), ("cell", "1"), ("cell", "2"),
+                  ("cell", "3")]),
+    ], schema=DOCUMENT_SCHEMA)
+    out = {r["doc_id"]: [(s["kind"], s["text"], s["offset"]) for s in r["spans"]]
+           for r in heuristic_transpose(docs).collect()}
+    assert out["t"] == [("cell", "name", 0), ("cell", "Ams", 1),
+                        ("cell", "pop", 2), ("cell", "872", 3)]
+    assert [t for _, t, _ in out["u"]] == ["a", "1", "2", "3"]  # untouched
+    assert out["u"][0][0] == "header"
