@@ -277,9 +277,19 @@ def _time_headline_queries() -> dict[str, float]:
 
 
 def _scaling() -> dict:
+    """Interleaved min-of-reps with a wall budget: at least one full rep per
+    level always runs; later reps are skipped (and logged in the output) if
+    the budget is spent — the harness degrades to fewer reps, never to a
+    missing result."""
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2400"))
+    t0 = time.time()
     levels = [SCALE_N, SCALE_N * 4]
     walls: dict[int, list[float]] = {c: [] for c in levels}
-    for _ in range(BENCH_REPS):
+    skipped = 0
+    for rep in range(BENCH_REPS):
+        if rep > 0 and time.time() - t0 > budget:
+            skipped = BENCH_REPS - rep
+            break
         for c in levels:
             walls[c].append(_fresh_run(c, BENCH_DOCS))
     best = {c: min(ws) for c, ws in walls.items()}
@@ -292,6 +302,7 @@ def _scaling() -> dict:
         "all_walls": {str(c): [round(w, 2) for w in ws] for c, ws in walls.items()},
         "docs_per_sec": {str(c): round(dps[c], 1) for c in levels},
         "scaling_efficiency": round(eff, 3),
+        "reps_skipped_for_budget": skipped,
     }
 
 
