@@ -1,0 +1,47 @@
+"""Physical-plan regression tests — pin the PLANS.md claims.
+
+These assert properties of the OPTIMIZED PLAN TEXT, not timings: filter/
+column pushdown reaches the parquet scan, the scoring path keeps its Python
+surface to exactly the intended Arrow UDFs, and the narrow-pair repartition
+survives optimization. A plan regression (e.g. an accidental UDF in a filter
+breaking pushdown) fails here long before it shows up as a slow benchmark.
+"""
+
+from takco_spark.config import PipelineConfig
+from takco_spark.datagen import synth_documents
+from takco_spark.operators.blocking import block_documents, candidate_pairs
+from takco_spark.operators.scoring import score_pairs
+from takco_spark.spans import doc_text_features
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_parquet_pushdown_and_pruning(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = df.where("lang = 'en'").select("doc_id", "text")
+    plan = _plan(q)
+    assert "PushedFilters" in plan
+    assert "EqualTo(lang,en)" in plan
+    # 2-column projection + filter column only — not the whole table
+    assert "n_chars" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_scoring_plan_python_surface_and_repartition(spark):
+    docs = synth_documents(spark, 200, seed=42).select("doc_id", "spans")
+    cfg = PipelineConfig()
+    feats = doc_text_features(docs, cfg.min_token_len)
+    blocks, _ = block_documents(feats, cfg)
+    scored = score_pairs(candidate_pairs(blocks), feats, cfg)
+    plan = _plan(scored)
+    # exactly the intended Arrow surface: JW (+ the LSH band UDF upstream);
+    # no row-at-a-time BatchEvalPython anywhere
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    # the explicit narrow-pair repartition survives optimization
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan \
+        or "hashpartitioning(doc_id_1" in plan
+    # whole-stage codegen spans exist (JVM-side matcher columns)
+    assert "codegen id" in plan
