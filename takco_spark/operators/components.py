@@ -99,10 +99,14 @@ def connected_components(
     # lazy localCheckpoint: the checksum aggregate is the action that
     # materializes each round's checkpoint — ONE Spark job per round instead
     # of two (job-count is the fixed cost that dominates small/medium runs;
-    # on a cluster it's driver round-trips)
+    # on a cluster it's driver round-trips). There is NO standalone job for
+    # the canonical edge set either: round 1's checksum materializes both
+    # checkpoints in one job (no round can converge against the raw input —
+    # the input isn't canonical-star-shaped — so the initial checksum only
+    # ever served as a baseline, at the cost of a driver sync).
     cur = _canonical(edges).localCheckpoint(eager=False)
-    prev_sum = _checksum(cur)
-    counts = [prev_sum[0]]
+    prev_sum: tuple[int, int] | None = None
+    counts: list[int] = []
     converged = False
     iterations = 0
     for i in range(max_iterations):
