@@ -262,9 +262,9 @@ def _time_headline_queries() -> dict[str, float]:
     # disables the blocking caps to stay SQL-equivalent, which is quadratic on
     # shared-vocabulary corpora — the capped pipeline IS the scale path.
     headline = [
-        "er_pipeline_spans", "token_blocking", "ngram_jaccard_capped",
-        "minhash_lsh_pairs", "simhash_pairs", "knn_cosine", "pricing_summary",
-        "window_running_sum", "pfd",
+        "er_pipeline_spans", "er_pipeline_aligned", "token_blocking",
+        "ngram_jaccard_capped", "minhash_lsh_pairs", "simhash_pairs",
+        "knn_cosine", "pricing_summary", "window_running_sum", "pfd",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
