@@ -69,3 +69,27 @@ def test_candidate_pairs_canonical_dedup(spark):
     assert (pdf["doc_id_1"] < pdf["doc_id_2"]).all()
     assert not pdf.duplicated(["doc_id_1", "doc_id_2"]).any()
     assert len(stats) == 2
+
+
+def test_salted_pair_loss_estimate_observable(spark):
+    """ADVICE r1: pairs excluded by salting must be observable. A key with
+    n docs in (salt_threshold, max_block_size] is split into s=ceil(n/th)
+    buckets; the stats must carry the estimated within-key pairs lost."""
+    from takco_spark.config import PipelineConfig
+    from takco_spark.operators.blocking import apply_block_caps
+
+    cfg = PipelineConfig(salt_threshold=4, max_block_size=100)
+    # one shared key over 12 docs → s=3 buckets; lost ≈ n(n-1)/2 − n(n/s−1)/2
+    rows = [("tok:shared", f"d{i:02d}") for i in range(12)]
+    blocks = spark.createDataFrame(rows, "block_key string, doc_id string")
+    capped, stats = apply_block_caps(blocks, cfg)
+    assert stats.salted_keys == 1
+    n, s = 12.0, 3.0
+    expected = int((n * (n - 1) - n * (n / s - 1)) / 2)
+    assert stats.salted_pairs_excluded_est == expected
+    # and the capped stream really forms fewer pairs than all-pairs
+    pairs = (
+        capped.alias("a").join(capped.alias("b"), ["block_key", "salt"])
+        .where("a.doc_id < b.doc_id").count()
+    )
+    assert pairs < n * (n - 1) / 2
