@@ -59,8 +59,16 @@ class PipelineConfig:
     #: each left segment takes its best right match (pure DataFrame aggs).
     align_mode: str = "greedy"
     #: normalization of the aligned total: 'jacc' t/(n1+n2-t), 'wide' t/max,
-    #: 'narrow' t/min (reference align_width_norm).
+    #: 'narrow' t/min (reference align_width_norm). Applies to greedy mode
+    #: only — max1 is the reference's un-normalized mean-of-maxes fast path.
     align_width_norm: str = "jacc"
+    #: greedy mode skew guard: keep only the top-K sub-sims per candidate
+    #: pair (by score desc) before the per-pair greedy scan. Exact whenever a
+    #: pair has <= K similar segment pairs (greedy consumes cells in score
+    #: order, so the dropped tail is the part greedy reaches last); bounds
+    #: the collect_list row and the Python scan for pathological doc pairs.
+    #: 0 disables the cap.
+    align_max_cells: int = 4096
     # --- embedding matcher/blocker (F11/J3; EmbeddingMatcher analog) --------
     #: compute mean-of-span embeddings and add the 'emb_cos' matcher column
     #: (reference vecsim, embedding.py:227-246); the agg_expr may then

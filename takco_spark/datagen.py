@@ -181,15 +181,30 @@ def _segmented_doc(entity: int, variant: int, seed: int,
       re-dealt across fields so no field survives intact — its whole-doc
       token set is IDENTICAL to variant 0's, which is exactly the case
       whole-document token matchers cannot reject and aligned scoring must.
+      When scrambled, ``variant`` is the SCRAMBLER index (0 or 1): the two
+      supported re-deals are distinct slot-wise derangements, so multiple
+      scramblers per entity are not byte-identical to each other (gold
+      counts each as its own singleton — identical payloads would penalize
+      a pipeline that correctly merges exact duplicates).
     """
     vals = [
         [_word(_mix(seed, 3, entity, f, k)) for k in range(2)]
         for f in range(3)
     ]
     if scrambled:
-        fields = [
-            [vals[(f + 1) % 3][0], vals[(f + 2) % 3][1]] for f in range(3)
-        ]
+        if variant == 0:
+            fields = [
+                [vals[(f + 1) % 3][0], vals[(f + 2) % 3][1]] for f in range(3)
+            ]
+        elif variant == 1:
+            fields = [
+                [vals[(f + 2) % 3][0], vals[(f + 1) % 3][1]] for f in range(3)
+            ]
+        else:
+            raise ValueError(
+                "at most 2 scramblers per entity are supported (each must be "
+                "a distinct derangement of the value tokens)"
+            )
         order = range(3)
     else:
         fields = [list(v) for v in vals]
@@ -224,6 +239,8 @@ def synth_segmented_documents(
 
     (doc_id, spans, true_entity); doc_id = 'e{entity}v{k}' / 'e{entity}s{k}'.
     """
+    if scramblers > 2:
+        raise ValueError("scramblers > 2 unsupported (see _segmented_doc)")
     per = variants + scramblers
     schema = f"doc_id string, spans {SPANS_TYPE}, true_entity long"
     base = spark.range(0, n_entities * per, numPartitions=partitions)
@@ -235,7 +252,9 @@ def synth_segmented_documents(
                 i = int(i)
                 entity, j = divmod(i, per)
                 scrambled = j >= variants
-                spans = _segmented_doc(entity, j, seed, scrambled)
+                spans = _segmented_doc(
+                    entity, j - variants if scrambled else j, seed, scrambled
+                )
                 if scrambled:
                     doc_ids.append(f"e{entity:06d}s{j - variants}")
                     entities.append(1_000_000_000 + i)

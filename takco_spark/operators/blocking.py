@@ -187,16 +187,25 @@ def global_hot_tokens(features: DataFrame, cfg: PipelineConfig,
         .agg(F.count("*").alias("df"))
         .where(F.col("df") > cfg.max_block_size)
     )
-    # no global sort: hot tokens are few by construction (df > cap bounds
-    # their count at total_tokens/cap); limit() only guards pathology
-    rows = df_counts.limit(cap + 1).collect()
+    return _collect_hot(df_counts, cap)
+
+
+def _collect_hot(df_counts: DataFrame, cap: int = 100_000) -> list[str]:
+    """Collect a (token, df) table of hot tokens, keeping the HOTTEST ``cap``
+    when it overflows — ordered truncation plus a logged warning, never an
+    arbitrary silent subset. Hot tokens are few by construction (df > the
+    block cap bounds their count at total_tokens/cap), so the sort input is
+    small; it only pays off in the pathological-overflow case it guards."""
+    rows = (
+        df_counts.orderBy(F.col("df").desc(), "token").limit(cap + 1).collect()
+    )
     toks = [r["token"] for r in rows]
     if len(toks) > cap:
         import logging
 
         logging.getLogger(__name__).warning(
-            "hot-token list truncated at %d (raise max_block_size for this "
-            "corpus scale)", cap,
+            "hot-token list truncated at %d hottest (raise max_block_size "
+            "for this corpus scale)", cap,
         )
         toks = toks[:cap]
     return toks
@@ -233,14 +242,13 @@ def block_documents(
             parts.append(tb if tb is not None else token_blocks(features, cfg))
         elif blocker == "minhash":
             if tb is not None:
-                rows = (
+                hot = _collect_hot(
                     tb.groupBy("block_key").agg(F.count("*").alias("df"))
                     .where(F.col("df") > cfg.max_block_size)
-                    .select(F.expr("substring(block_key, 5)").alias("token"))
-                    .limit(100_001)
-                    .collect()
+                    .select(
+                        F.expr("substring(block_key, 5)").alias("token"), "df"
+                    )
                 )
-                hot = [r["token"] for r in rows][:100_000]
             else:
                 hot = global_hot_tokens(features, cfg)
             parts.append(minhash_blocks(features, cfg, exclude_tokens=hot))

@@ -245,7 +245,8 @@ def hamming64(a, b):
 
 def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
                        id_col: str = "doc_id", text_col: str = "text",
-                       max_bucket_size: int | None = 500) -> DataFrame:
+                       max_bucket_size: int | None = 500,
+                       stats_out: dict | None = None) -> DataFrame:
     """Near-dup pairs by SimHash: general pigeonhole blocking — the 64-bit
     fingerprint is split into ``max_hamming + 1`` contiguous pieces, so any
     pair within Hamming ≤ max_hamming must agree exactly on ≥ one piece
@@ -255,6 +256,11 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
 
     Piece width shrinks as max_hamming grows (64/(d+1) bits → buckets get
     hotter); max_hamming > 15 would leave < 4-bit pieces and is rejected.
+    The cap therefore erodes the recall=1 guarantee once the corpus outgrows
+    ``max_bucket_size × 2^min_piece_width`` (every piece value saturates):
+    that capacity is logged up front, and passing ``stats_out`` (a dict)
+    fills in measured ``dropped_buckets`` / ``dropped_rows`` (one extra
+    aggregate job) so the recall loss is observable, never silent.
     """
     if not 0 <= max_hamming <= 15:
         raise ValueError("max_hamming must be in [0, 15] for 64-bit pigeonhole blocking")
@@ -262,6 +268,16 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
     base, rem = divmod(64, n_pieces)
     widths = [base + (1 if i < rem else 0) for i in range(n_pieces)]
     offsets = [sum(widths[:i]) for i in range(n_pieces)]
+    if max_bucket_size is not None:
+        import logging
+
+        capacity = max_bucket_size * (1 << min(widths))
+        logging.getLogger(__name__).info(
+            "simhash pigeonhole: %d pieces (min %d bits); bucket cap %d keeps "
+            "full recall up to ~%d docs — beyond that dropped buckets erode "
+            "recall (pass stats_out= to measure drops)",
+            n_pieces, min(widths), max_bucket_size, capacity,
+        )
     sh = simhash_docs(documents, id_col, text_col)
     piece_cols = [
         F.concat(
@@ -275,6 +291,18 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
     banded = sh.select(
         "doc_id", F.explode(F.array(*piece_cols)).alias("bucket")
     ).select("bucket", "doc_id")
+    if stats_out is not None and max_bucket_size is not None:
+        banded = banded.persist()
+        stats_out.update(bucket_cap_stats(banded, max_bucket_size))
+        if stats_out.get("dropped_buckets"):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash bucket cap dropped %d buckets (%d doc-piece rows) — "
+                "recall < 1 at this corpus size; raise max_bucket_size or "
+                "max_hamming-split granularity",
+                stats_out["dropped_buckets"], stats_out["dropped_rows"],
+            )
     pairs = _bounded_bucket_pairs(banded, max_bucket_size)
     sh1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("sh1"))
     sh2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("sh2"))

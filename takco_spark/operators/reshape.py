@@ -60,12 +60,33 @@ def compound_affixes(cells: DataFrame, group_col: str = "col",
     )
 
 
-#: F18 pivot regexes (reference NumSuffix/NumPrefix,
-#: /root/reference/takco/reshape/findpivot.py:332-347 — named groups become
-#: numbered groups for regexp_extract): (pattern, var_group, val_group)
+#: F18 pivot regexes: the reference's class-based finders
+#: (NumSuffix/NumPrefix, /root/reference/takco/reshape/findpivot.py:332-347)
+#: PLUS its config-registered RegexFinder family
+#: (/root/reference/resources/pipelines/wikitables.toml:41-77: year-prefix,
+#: year-suffix, short-uppercase-acronyms, time, sports-round). Named groups
+#: become numbered groups for ``regexp_extract``; every pattern is
+#: ``^``-anchored because the reference applies them with ``re.match``.
+#: Entries are (pattern, var_group, val_group); group 0 (= whole match)
+#: encodes the reference's rule that a pattern lacking a var or val group
+#: still FINDS pivot cells but splits them to (cell, cell)
+#: (findpivot.py:313-322 requires both groups, else var = val = the cell).
 PIVOT_FINDERS: dict[str, tuple[str, int, int]] = {
-    "num_suffix": (r"(.*)(?:^|\s)[\W\s]*(\d[\W\d]*?)[\W\s]*$", 1, 2),
-    "num_prefix": (r"[\W\s]*(\d[\W\d]*)(?:$|\s)(.*)", 2, 1),
+    "num_suffix": (r"^(.*)(?:^|\s)[\W\s]*(\d[\W\d]*?)[\W\s]*$", 1, 2),
+    "num_prefix": (r"^[\W\s]*(\d[\W\d]*)(?:$|\s)(.*)", 2, 1),
+    "year_prefix": (
+        r"^[\W\s]*([0-9]{4}(\s?[-–]\s?([0-9]{2}|[0-9]{4}|present))?)"
+        r"[\W\s]*(.*?)[\W\s]*$",
+        4, 1,
+    ),
+    "year_suffix": (
+        r"^(.*?)[\W\s]*([0-9]{4}(\s?[-–]\s?([0-9]{2}|[0-9]{4}|present))?)"
+        r"[\W\s]*$",
+        1, 2,
+    ),
+    "short_uppercase_acronym": (r"^([A-Z]{3,4})$", 0, 0),
+    "time": (r"^(.*?)[\W\s]*(\d{1,2}:\d{2}[AP]M).*", 1, 2),
+    "sports_round": (r"^((\d+|OT|Total|Final))$", 0, 0),
 }
 
 
@@ -88,6 +109,113 @@ def find_pivot_cells(headers: DataFrame, finder: str = "num_suffix",
     return matched.withColumn(
         "pivot_var", F.trim(F.regexp_extract(t, pattern, var_g))
     ).withColumn("pivot_val", F.trim(F.regexp_extract(t, pattern, val_g)))
+
+
+def _doc_width(n_cols) -> F.Column:
+    """Grid width of a span document: explicit ``n_cols`` (int or Column), or
+    the single-header-row convention of the S3/S9 sources — header-span
+    count, falling back to size(spans) for headerless one-row docs."""
+    if n_cols is not None:
+        return F.lit(n_cols) if isinstance(n_cols, int) else n_cols
+    return F.coalesce(
+        F.nullif(F.expr("size(filter(spans, s -> s.kind = 'header'))"), F.lit(0)),
+        F.expr("size(spans)"),
+    )
+
+
+def max_width_guard(documents: DataFrame, max_cols: int = 100,
+                    n_cols=None) -> DataFrame:
+    """P3: discard documents at least ``max_cols`` columns wide — the
+    reference's table-width sanity guard (tables that wide are scraping
+    artifacts whose quadratic cell mass poisons downstream stages)
+    (/root/reference/takco/reshape/clean.py:38-40, default max_cols=100).
+    Pure Column filter; at scale this prunes before any explode."""
+    return documents.where(_doc_width(n_cols) < F.lit(max_cols))
+
+
+def document_grid(documents: DataFrame, n_cols=None) -> DataFrame:
+    """Row-major span documents → long grid form
+    (doc_id, row, col, kind, text, media_ref): the representation the
+    row/column cleanup operators work on (the reference's tableData matrix,
+    one Spark row per cell instead of nested lists)."""
+    width = _doc_width(n_cols)
+    ordered = (
+        "array_sort(spans, (a, b) -> case when a.offset < b.offset then -1 "
+        "when a.offset > b.offset then 1 else 0 end)"
+    )
+    return (
+        documents.withColumn("_w", width)
+        .select(
+            "doc_id", "_w",
+            F.posexplode(F.expr(ordered)).alias("_pos", "s"),
+        )
+        .select(
+            "doc_id",
+            F.floor(F.col("_pos") / F.col("_w")).cast("int").alias("row"),
+            F.pmod(F.col("_pos"), F.col("_w")).cast("int").alias("col"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+
+
+def remove_empty_rows(grid: DataFrame) -> DataFrame:
+    """P7a: drop grid rows whose cells are ALL empty/whitespace, renumbering
+    the remaining rows densely (reference remove_empty_rows +
+    remove_empty_header_rows, /root/reference/takco/reshape/clean.py:171-186
+    — same predicate applied to body and header rows). One window pass for
+    the keep flag, one dense_rank for renumbering — no self-join."""
+    from pyspark.sql import Window
+
+    keep = F.max(
+        (F.length(F.trim(F.coalesce("text", F.lit("")))) > 0).cast("int")
+    ).over(Window.partitionBy("doc_id", "row"))
+    kept = grid.withColumn("_keep", keep).where(F.col("_keep") == 1).drop("_keep")
+    rn = F.dense_rank().over(Window.partitionBy("doc_id").orderBy("row")) - 1
+    return kept.withColumn("row", rn.cast("int"))
+
+
+def remove_empty_columns(grid: DataFrame) -> DataFrame:
+    """P7b: drop grid columns with no non-empty BODY cell (header text alone
+    does not keep a column — reference remove_empty_columns checks tableData
+    only, /root/reference/takco/reshape/clean.py:82-96), renumbering the
+    surviving columns densely."""
+    from pyspark.sql import Window
+
+    body_nonempty = F.max(
+        (
+            (F.col("kind") != "header")
+            & (F.length(F.trim(F.coalesce("text", F.lit("")))) > 0)
+        ).cast("int")
+    ).over(Window.partitionBy("doc_id", "col"))
+    kept = (
+        grid.withColumn("_keep", body_nonempty)
+        .where(F.col("_keep") == 1)
+        .drop("_keep")
+    )
+    cn = F.dense_rank().over(Window.partitionBy("doc_id").orderBy("col")) - 1
+    return kept.withColumn("col", cn.cast("int"))
+
+
+def grid_to_documents(grid: DataFrame) -> DataFrame:
+    """Long grid form → row-major span documents (offsets re-based 0..n-1);
+    inverse of :func:`document_grid` for dense grids."""
+    return (
+        grid.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("row", "col", "kind", "text", "media_ref"))
+            ).alias("cells")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(cells, (c, i) -> struct(c.kind as kind, c.text as text,"
+                " c.media_ref as media_ref, cast(i as int) as offset))"
+            ).alias("spans"),
+        )
+    )
 
 
 def heuristic_transpose(documents: DataFrame) -> DataFrame:

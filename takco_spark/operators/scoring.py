@@ -204,7 +204,9 @@ def score_pairs_aligned(
     repartitioned pair stream (same rationale as score_pairs); sub-sims of 0
     are dropped BEFORE the per-pair aggregation — exact, because greedy
     considers them last and they add 0 — so the per-pair cell list is
-    bounded by the count of actually-similar segment pairs, not n1×n2.
+    bounded by the count of actually-similar segment pairs, not n1×n2, and
+    additionally hard-capped at ``cfg.align_max_cells`` top-score cells per
+    pair (skew guard for pathological doc pairs; exact below the cap).
     """
     from takco_spark.operators.alignment import greedy_total_udf
 
@@ -241,24 +243,50 @@ def score_pairs_aligned(
     seg_agg = compile_agg_expr(cfg.agg_expr, {"jaccard", "lev_sim", "jw"})
     sub = sub.withColumn("s", seg_agg).where(F.col("s") > 0)
 
-    if cfg.align_mode == "greedy":
-        tot = (
-            sub.groupBy("doc_id_1", "doc_id_2", "block_key")
-            .agg(F.collect_list(F.struct("l", "r", "s")).alias("cells"))
-            .withColumn("total", greedy_total_udf("cells"))
-            .drop("cells")
-        )
-    elif cfg.align_mode == "max1":
+    if cfg.align_mode == "max1":
+        # Reference parity (cluster.py:344-345, the align_use=False branch):
         # each LEFT segment takes its best right match (multi-use of right
-        # segments allowed) — reference 'max1' fast mode, cluster.py:343-345
-        tot = (
+        # segments allowed), then the pair score is the MEAN of those per-left
+        # maxes — NO width normalization in this mode. Zero sub-sims were
+        # dropped above, so the mean denominator is the count of *matched*
+        # left segments — exactly the reference's aggsim-index count. Pure
+        # DataFrame algebra: no UDF, no per-doc counts join.
+        return (
             sub.groupBy("doc_id_1", "doc_id_2", "block_key", "l")
             .agg(F.max("s").alias("m"))
             .groupBy("doc_id_1", "doc_id_2", "block_key")
-            .agg(F.sum("m").alias("total"))
+            .agg(F.avg("m").alias("agg_sim"))
+            .where(F.col("agg_sim") >= F.lit(cfg.agg_threshold))
+            .select("doc_id_1", "doc_id_2", "block_key", "agg_sim")
         )
-    else:
+    if cfg.align_mode != "greedy":
         raise ValueError(f"unknown align_mode {cfg.align_mode!r}")
+
+    cap = getattr(cfg, "align_max_cells", 0) or 0
+    if cap > 0:
+        # Skew guard: bound the per-pair cell list at top-K by score before
+        # the collect. Greedy consumes cells in descending-score order, so
+        # for any pair with <= K similar segment pairs this is EXACT; beyond
+        # K it drops only the tail greedy would reach last. The window
+        # partitions on the same keys as the groupBy below, so Catalyst
+        # reuses one exchange (sort added, no second shuffle).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id_1", "doc_id_2", "block_key").orderBy(
+            F.col("s").desc(), "l", "r"
+        )
+        sub = (
+            sub.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= cap)
+            .drop("_rk")
+        )
+
+    tot = (
+        sub.groupBy("doc_id_1", "doc_id_2", "block_key")
+        .agg(F.collect_list(F.struct("l", "r", "s")).alias("cells"))
+        .withColumn("total", greedy_total_udf("cells"))
+        .drop("cells")
+    )
 
     counts = seg_features.groupBy("doc_id").agg(F.count("*").alias("n"))
     n1 = counts.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1"))

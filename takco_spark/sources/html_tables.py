@@ -53,6 +53,15 @@ class _TableParser(HTMLParser):
         self._row: list[_Cell] | None = None
         self._cell: _Cell | None = None
 
+    def _flush_row(self) -> None:
+        """Append the open row (if any) to the table — called on explicit
+        </tr>, on an implied closure (next <tr> start), and on </table>."""
+        if self._rows is not None and self._row is not None:
+            if self._row:
+                self._rows.append(self._row)
+            self._row = None
+        self._cell = None
+
     @staticmethod
     def _span(attrs, name: str) -> int:
         for k, v in attrs:
@@ -72,8 +81,12 @@ class _TableParser(HTMLParser):
         if self._depth != 1 or self._rows is None:
             return
         if tag == "tr":
+            # implied </tr>: HTML5 allows omitting row/cell end tags — a new
+            # <tr> with a row still open must flush it, not drop it
+            self._flush_row()
             self._row = []
         elif tag in ("td", "th") and self._row is not None:
+            self._cell = None  # implied </td>/</th>
             self._cell = _Cell(header=(tag == "th"))
             self._cell.colspan = self._span(attrs, "colspan")
             self._cell.rowspan = self._span(attrs, "rowspan")
@@ -85,17 +98,17 @@ class _TableParser(HTMLParser):
 
     def handle_endtag(self, tag):
         if tag == "table":
-            if self._depth == 1 and self._rows:
-                self.tables.append(self._rows)
+            if self._depth == 1:
+                self._flush_row()  # implied </tr> before </table>
+                if self._rows:
+                    self.tables.append(self._rows)
                 self._rows = None
             self._depth = max(0, self._depth - 1)
             return
         if self._depth != 1:
             return
-        if tag == "tr" and self._rows is not None and self._row is not None:
-            if self._row:
-                self._rows.append(self._row)
-            self._row = None
+        if tag == "tr":
+            self._flush_row()
         elif tag in ("td", "th"):
             self._cell = None
 

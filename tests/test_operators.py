@@ -228,3 +228,19 @@ def test_simhash_pigeonhole_piece_guarantee():
                 y ^= 1 << bit
             px, py = pieces(x), pieces(y)
             assert any(a == b for a, b in zip(px, py)), (d, flip_bits)
+
+
+def test_simhash_stats_out_observable(spark, dup_docs):
+    """ADVICE: bucket-cap recall loss must be observable — stats_out gets
+    dropped-bucket counts; a tiny cap drops everything measurably."""
+    from takco_spark.operators.dedup import simhash_near_pairs
+
+    stats = {}
+    simhash_near_pairs(dup_docs, max_hamming=3, max_bucket_size=1,
+                       stats_out=stats).count()
+    assert stats["buckets"] > 0
+    assert stats["dropped_buckets"] > 0  # planted dups share pieces → n >= 2
+    stats2 = {}
+    n = simhash_near_pairs(dup_docs, max_hamming=3, max_bucket_size=10_000,
+                           stats_out=stats2).count()
+    assert stats2["dropped_buckets"] == 0 and n >= 0

@@ -200,3 +200,21 @@ def test_aligned_with_refinement(spark):
     res = run_pipeline(spark, docs.select("doc_id", "spans"), cfg)
     prf = pairwise_f1(res.components, gold)
     assert prf.f1 >= 0.99, prf.as_dict()
+
+
+def test_scrambler_docs_are_distinct(spark):
+    """ADVICE: multiple scramblers per entity must not be byte-identical
+    (gold counts each as a singleton); >2 scramblers is rejected."""
+    import pytest
+
+    from takco_spark.datagen import synth_segmented_documents
+
+    docs = synth_segmented_documents(spark, 3, variants=2, scramblers=2,
+                                     seed=5).collect()
+    by_id = {r["doc_id"]: [s["text"] for s in r["spans"]] for r in docs}
+    for e in range(3):
+        s0, s1 = by_id[f"e{e:06d}s0"], by_id[f"e{e:06d}s1"]
+        assert s0 != s1
+        assert sorted(s0) == sorted(s1)  # same token multiset, re-dealt
+    with pytest.raises(ValueError):
+        synth_segmented_documents(spark, 2, variants=2, scramblers=3)

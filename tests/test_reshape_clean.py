@@ -1,0 +1,119 @@
+"""P3/P7 grid cleanup operators + the extended F18 finder table
+(reference /root/reference/takco/reshape/clean.py:38-40,82-96,171-186 and
+resources/pipelines/wikitables.toml:41-77)."""
+
+from pyspark.sql import functions as F
+
+from takco_spark.operators.reshape import (
+    document_grid,
+    find_pivot_cells,
+    grid_to_documents,
+    max_width_guard,
+    remove_empty_columns,
+    remove_empty_rows,
+)
+from takco_spark.spans import DOCUMENT_SCHEMA
+
+
+def _doc(doc_id, kinds_texts):
+    return {"doc_id": doc_id, "spans": [
+        {"kind": k, "text": t, "media_ref": "", "offset": i}
+        for i, (k, t) in enumerate(kinds_texts)]}
+
+
+def _grid_doc(doc_id, header, rows):
+    kt = [("header", h) for h in header]
+    for r in rows:
+        kt += [("cell", c) for c in r]
+    return _doc(doc_id, kt)
+
+
+def test_max_width_guard(spark):
+    """P3: documents >= max_cols wide are discarded (clean.py:38-40)."""
+    docs = spark.createDataFrame([
+        _grid_doc("narrow", ["a", "b"], [["1", "2"]]),
+        _grid_doc("wide", [f"h{i}" for i in range(5)],
+                  [[str(i) for i in range(5)]]),
+    ], schema=DOCUMENT_SCHEMA)
+    kept = {r["doc_id"] for r in max_width_guard(docs, max_cols=5).collect()}
+    assert kept == {"narrow"}
+    # explicit width overrides the header-count inference
+    kept2 = {r["doc_id"] for r in
+             max_width_guard(docs, max_cols=5, n_cols=F.lit(3)).collect()}
+    assert kept2 == {"narrow", "wide"}
+
+
+def test_document_grid_round_trip(spark):
+    """document_grid assigns row-major (row, col); grid_to_documents is its
+    inverse on dense grids (offsets re-based)."""
+    docs = spark.createDataFrame(
+        [_grid_doc("d", ["name", "pop"], [["Ams", "872"], ["Utr", "361"]])],
+        schema=DOCUMENT_SCHEMA,
+    )
+    g = document_grid(docs)
+    cells = {(r["row"], r["col"]): (r["kind"], r["text"]) for r in g.collect()}
+    assert cells[(0, 0)] == ("header", "name")
+    assert cells[(1, 1)] == ("cell", "872")
+    assert cells[(2, 0)] == ("cell", "Utr")
+    back = grid_to_documents(g).collect()[0]
+    orig = docs.collect()[0]
+    assert [tuple(s) for s in back["spans"]] == [tuple(s) for s in orig["spans"]]
+
+
+def test_remove_empty_rows(spark):
+    """P7a: all-empty rows dropped, remaining rows renumbered densely
+    (clean.py:171-186)."""
+    docs = spark.createDataFrame(
+        [_grid_doc("d", ["a", "b"], [["", "  "], ["x", ""], ["", ""], ["", "y"]])],
+        schema=DOCUMENT_SCHEMA,
+    )
+    out = remove_empty_rows(document_grid(docs))
+    rows = sorted({r["row"] for r in out.collect()})
+    assert rows == [0, 1, 2]  # header + 2 surviving body rows
+    texts = {(r["row"], r["col"]): r["text"] for r in out.collect()}
+    assert texts[(1, 0)] == "x" and texts[(2, 1)] == "y"
+
+
+def test_remove_empty_columns(spark):
+    """P7b: a column with header text but no body text is dropped; columns
+    renumber densely (clean.py:82-96 checks tableData only)."""
+    docs = spark.createDataFrame(
+        [_grid_doc("d", ["a", "ghost", "c"],
+                   [["1", "", "3"], ["4", " ", "6"]])],
+        schema=DOCUMENT_SCHEMA,
+    )
+    out = remove_empty_columns(document_grid(docs))
+    cols = sorted({r["col"] for r in out.collect()})
+    assert cols == [0, 1]
+    headers = {r["col"]: r["text"] for r in out.collect() if r["kind"] == "header"}
+    assert headers == {0: "a", 1: "c"}
+
+
+def test_pivot_finders_extended(spark):
+    """F18: the wikitables.toml RegexFinder family (year/time/acronym/round);
+    patterns are ^-anchored (re.match parity)."""
+    heads = spark.createDataFrame(
+        [("d", 0, "2004-05 season"), ("d", 1, "champion 1999"),
+         ("d", 2, "kickoff 7:30PM"), ("d", 3, "OT"), ("d", 4, "Total"),
+         ("d", 5, "NASA"), ("d", 6, "plain header")],
+        "doc_id string, ci int, text string",
+    )
+
+    def got(finder):
+        return {r["ci"]: (r["pivot_var"], r["pivot_val"])
+                for r in find_pivot_cells(heads, finder).collect()}
+
+    yp = got("year_prefix")
+    assert yp[0] == ("season", "2004-05")
+    assert 6 not in yp
+    ys = got("year_suffix")
+    assert ys[1] == ("champion", "1999")
+    tm = got("time")
+    assert tm[2] == ("kickoff", "7:30PM")
+    sr = got("sports_round")
+    # no var group → reference split yields (cell, cell)
+    assert sr[3] == ("OT", "OT") and sr[4] == ("Total", "Total")
+    assert 2 not in sr  # anchored: 'kickoff 7:30PM' must NOT match ^(\d+|OT..)$
+    ac = got("short_uppercase_acronym")
+    assert ac[5] == ("NASA", "NASA")
+    assert 6 not in ac

@@ -152,3 +152,53 @@ def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
     q2.awaitTermination(120)
     rows2 = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
     assert rows2 == {"a", "c", "e"}, rows2
+
+
+def _aligned_fixture(spark):
+    from pyspark.sql import functions as F
+
+    seg = spark.createDataFrame(
+        [("A", 0, "ax", ["xx", "yy"]), ("A", 1, "ap", ["pp", "qq"]),
+         ("B", 0, "bx", ["xx", "yy"]), ("B", 1, "bp", ["pp", "zz"])],
+        "doc_id string, seg int, seg_name string, seg_tokens array<string>",
+    )
+    pairs = spark.createDataFrame(
+        [("A", "B", "k")], "doc_id_1 string, doc_id_2 string, block_key string"
+    )
+    return seg, pairs
+
+
+def test_max1_is_mean_of_per_left_maxes(spark):
+    """Reference parity (cluster.py:344-345): max1 = MEAN of each left
+    segment's best sub-sim, NO width normalization. Here maxes are
+    jacc(A0,B0)=1 and jacc(A1,B1)=1/3 -> agg_sim = 2/3."""
+    from takco_spark.config import PipelineConfig
+    from takco_spark.operators.scoring import score_pairs_aligned
+
+    seg, pairs = _aligned_fixture(spark)
+    cfg = PipelineConfig(aligned=True, align_mode="max1", agg_expr="jaccard",
+                         agg_threshold=0.1)
+    rows = score_pairs_aligned(pairs, seg, cfg).collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["agg_sim"] - (1.0 + 1.0 / 3.0) / 2.0) < 1e-9
+
+
+def test_align_max_cells_cap(spark):
+    """Greedy skew guard: cap=1 keeps only the top-score cell per pair
+    (total=1 -> jacc norm 1/(2+2-1)); uncapped greedy aligns both segments
+    (total=4/3 -> 0.5). Exact whenever n_cells <= cap."""
+    from takco_spark.config import PipelineConfig
+    from takco_spark.operators.scoring import score_pairs_aligned
+
+    seg, pairs = _aligned_fixture(spark)
+    base = dict(aligned=True, align_mode="greedy", agg_expr="jaccard",
+                agg_threshold=0.1)
+    uncapped = score_pairs_aligned(
+        pairs, seg, PipelineConfig(**base, align_max_cells=0)).collect()
+    assert abs(uncapped[0]["agg_sim"] - 0.5) < 1e-9
+    big_cap = score_pairs_aligned(
+        pairs, seg, PipelineConfig(**base, align_max_cells=4096)).collect()
+    assert abs(big_cap[0]["agg_sim"] - 0.5) < 1e-9  # exact below the cap
+    capped = score_pairs_aligned(
+        pairs, seg, PipelineConfig(**base, align_max_cells=1)).collect()
+    assert abs(capped[0]["agg_sim"] - 1.0 / 3.0) < 1e-9

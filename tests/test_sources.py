@@ -184,3 +184,17 @@ def test_line_pages(spark, tmp_path):
     rows = {r["url"]: r for r in pages.collect()}
     assert rows["http://w/Amsterdam"]["about"] == "Amsterdam"
     assert rows["http://w/Amsterdam"]["html"].startswith("<table>")
+
+
+def test_html_implied_closures_pure():
+    """HTML5 allows omitting </tr>/</td>; the parser must flush open
+    rows/cells on implied closure and on </table> (real pages do this)."""
+    from takco_spark.sources.html_tables import tables_from_html
+
+    tabs = tables_from_html("<table><tr><td>a<td>b<tr><td>c</table>")
+    assert len(tabs) == 1
+    texts = [[("".join(c.text) if c else None) for c in row] for row in tabs[0]]
+    assert texts == [["a", "b"], ["c", None]]
+    # open row at </table> with explicit cells is also flushed
+    tabs2 = tables_from_html("<table><tr><th>h</th><td>v</table>")
+    assert [["".join(c.text) for c in tabs2[0][0]]] == [["h", "v"]]
