@@ -400,7 +400,7 @@ def q_nary_best_property(spark, sf_dir):
     from takco_spark.operators.integrate import nary_property_agg
 
     li = _t(spark, sf_dir, "lineitem")
-    n_rows = li.count()
+    n_rows = li.agg(F.count("*").alias("n_rows"))  # stays in-plan (broadcast)
     matches = li.select(
         F.concat(F.lit("s"), (F.col("l_suppkey") % 5).cast("string")).alias("from_col"),
         F.concat(F.lit("p"), (F.col("l_partkey") % 7).cast("string")).alias("to_col"),
@@ -430,6 +430,51 @@ def q_salience(spark, sf_dir):
     return out.where(F.col("rk") == 1).select(
         "col", "item", F.col("n").alias("n_cand"),
         F.round("salience", 6).alias("salience_r"),
+    )
+
+
+def q_er_aligned_max1(spark, sf_dir):
+    """A5 aligned scoring in 'max1' mode, ORACLED (the aligned path's
+    hash-verified variant — greedy stays rows-only). Segments are derived
+    deterministically from the flat documents (seg = ascii(first char) % 3
+    over distinct tokens, so DuckDB can reproduce them without positions);
+    candidate pairs come from shared-token blocking; the pair score is the
+    MEAN of each left segment's best Jaccard (reference
+    aggregate_aligned_column_sims else-branch,
+    /root/reference/takco/cluster/cluster.py:344-345)."""
+    from takco_spark.operators.scoring import score_pairs_aligned
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), r"\W+"),
+                         lambda t: F.length(t) >= 2)
+            )
+        ).alias("token"),
+    )
+    seg_features = (
+        toks.withColumn(
+            "seg", F.expr("pmod(ascii(substring(token, 1, 1)), 3)").cast("int")
+        )
+        .groupBy("doc_id", "seg")
+        .agg(F.collect_set("token").alias("seg_tokens"))
+        .select("doc_id", "seg", F.lit("").alias("seg_name"), "seg_tokens")
+    )
+    pairs = (
+        toks.alias("a").join(toks.alias("b"), "token")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_id_1"),
+                F.col("b.doc_id").alias("doc_id_2"))
+        .distinct()
+        .withColumn("block_key", F.lit(""))
+    )
+    cfg = PipelineConfig(aligned=True, align_mode="max1",
+                         agg_expr="jaccard", agg_threshold=0.1)
+    out = score_pairs_aligned(pairs, seg_features, cfg)
+    return out.select(
+        "doc_id_1", "doc_id_2", F.round("agg_sim", 6).alias("agg_sim_r")
     )
 
 
@@ -518,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salience": q_salience,
         "pr_curve": q_pr_curve,
         "compound_split": q_compound_split,
+        "er_aligned_max1": q_er_aligned_max1,
         # rows-only (no oracle possible: seeded-hash / pipeline internals)
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -849,5 +895,36 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings e1 ON e1.vec_id = d1
               JOIN embeddings e2 ON e2.vec_id = d2)
             WHERE emb_cos_r >= 0.2
+        """,
+        "er_aligned_max1": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\W+')) AS tok
+                FROM documents)
+              WHERE length(tok) >= 2),
+            segt AS (
+              SELECT doc_id, ascii(substring(tok, 1, 1)) % 3 AS seg, tok
+              FROM toks),
+            sizes AS (
+              SELECT doc_id, seg, count(*) AS n FROM segt GROUP BY doc_id, seg),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+            inter AS (
+              SELECT p.d1, p.d2, s1.seg AS l, s2.seg AS r, count(*) AS i
+              FROM pairs p
+              JOIN segt s1 ON s1.doc_id = p.d1
+              JOIN segt s2 ON s2.doc_id = p.d2 AND s2.tok = s1.tok
+              GROUP BY p.d1, p.d2, s1.seg, s2.seg),
+            sub AS (
+              SELECT i.d1, i.d2, i.l, i.i * 1.0 / (z1.n + z2.n - i.i) AS s
+              FROM inter i
+              JOIN sizes z1 ON z1.doc_id = i.d1 AND z1.seg = i.l
+              JOIN sizes z2 ON z2.doc_id = i.d2 AND z2.seg = i.r),
+            m AS (SELECT d1, d2, l, max(s) AS mx FROM sub GROUP BY d1, d2, l),
+            agg AS (SELECT d1, d2, avg(mx) AS agg_sim FROM m GROUP BY d1, d2)
+            SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+                   round(agg_sim, 6) AS agg_sim_r
+            FROM agg WHERE agg_sim >= 0.1
         """,
     }

@@ -24,28 +24,36 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def nary_property_agg(matches: DataFrame, n_rows: int) -> DataFrame:
+def nary_property_agg(matches: DataFrame, n_rows: int | DataFrame) -> DataFrame:
     """matches(from_col, to_col, prop) — one row per row-level match — →
     per to_col the elected (from_col, prop) with score = count / n_rows.
 
     Ties break deterministically by (count desc, from_col, prop) — the
     reference iterates sorted Counters, so its election is order-stable too.
+
+    ``n_rows`` may be a plain int, or a 1-row/1-column DataFrame (e.g.
+    ``facts.agg(F.count("*"))``) that stays INSIDE the plan as a broadcast
+    cross join — no separate driver-side count job (same pattern as
+    tfidf_weights' in-plan N).
     """
     counts = matches.groupBy("to_col", "from_col", "prop").agg(
         F.count("*").alias("n")
     )
+    if isinstance(n_rows, DataFrame):
+        denom = n_rows.select(
+            F.col(n_rows.columns[0]).cast("double").alias("_n_rows")
+        )
+        counts = counts.crossJoin(F.broadcast(denom))
+        score = F.col("n") / F.col("_n_rows")
+    else:
+        score = F.col("n") / F.lit(float(n_rows))
     w = Window.partitionBy("to_col").orderBy(
         F.desc("n"), F.asc("from_col"), F.asc("prop")
     )
     return (
         counts.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
-        .select(
-            "to_col",
-            "from_col",
-            "prop",
-            (F.col("n") / F.lit(float(n_rows))).alias("score"),
-        )
+        .select("to_col", "from_col", "prop", score.alias("score"))
     )
 
 

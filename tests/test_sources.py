@@ -198,3 +198,29 @@ def test_html_implied_closures_pure():
     # open row at </table> with explicit cells is also flushed
     tabs2 = tables_from_html("<table><tr><th>h</th><td>v</table>")
     assert [["".join(c.text) for c in tabs2[0][0]]] == [["h", "v"]]
+
+
+def test_tabel_gold_loader(spark):
+    """S10: TabEL/WDC JSON table dump → span documents with row-major span
+    order and surfaceLink targets as mention media_refs; gold_mentions
+    recovers the annotation side (reference wdc.py:27-73)."""
+    from takco_spark.sources.gold import gold_mentions, read_tabel
+
+    docs = read_tabel(spark, "tests/data/tabel_sample.jsonl")
+    by_id = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                           for s in r["spans"]] for r in docs.collect()}
+    assert set(by_id) == {"sample-0001", "Rivers#t3"}
+    # row-major, offsets 0..n-1, header row first
+    assert by_id["sample-0001"] == [
+        ("header", "City", "", 0), ("header", "Country", "", 1),
+        ("mention", "Amsterdam", "Amsterdam", 2),
+        ("mention", "Netherlands", "Netherlands", 3),
+        ("mention", "Utrecht", "Utrecht", 4),
+        ("cell", "Netherlands", "", 5),
+    ]
+    assert by_id["Rivers#t3"] == [("header", "River", "", 0),
+                                  ("cell", "Rhine", "", 1)]
+    gold = {(r["doc_id"], r["offset"]): r["entity"]
+            for r in gold_mentions(docs).collect()}
+    assert gold[("sample-0001", 2)] == "Amsterdam"
+    assert ("sample-0001", 5) not in gold
