@@ -113,6 +113,13 @@ def run_pipeline(
         _pairs_scored,
         extra_metrics={"agg_expr": cfg.agg_expr, "threshold": cfg.agg_threshold},
     )
+    if cfg.refine_threshold is not None and isinstance(ckpt, NullCheckpointManager):
+        # refinement consumes the scored pairs a SECOND time (CC edges +
+        # within-cluster sims); without a checkpoint write to re-read from,
+        # the whole scoring stage would otherwise recompute — measured 2×
+        # the aligned path's cost. A checkpointing run is already
+        # materialized on disk, so this persist is Null-manager-only.
+        pairs_scored = pairs_scored.persist()
 
     cc_meta: dict = {}
 
@@ -126,11 +133,17 @@ def run_pipeline(
         cc_meta["edge_counts"] = res.edge_counts
         labels = res.labels
         if cfg.max_cluster_size:
-            labels = rechunk_oversized(labels, cfg.max_cluster_size)
+            # rechunk scans its input 3× (sizes, big, small anti-join); the
+            # label set is 2 narrow columns — persist beats recomputing the
+            # CC union+distinct from the checkpointed edge set each scan
+            labels = rechunk_oversized(labels.persist(), cfg.max_cluster_size)
         return labels
 
     components = ckpt.stage("components", _components)
     stats["cc"] = cc_meta
+    if cfg.refine_threshold is not None and isinstance(ckpt, NullCheckpointManager):
+        # refine_clusters scans the coarse labels 4× (size guard + joins)
+        components = components.persist()
 
     if cfg.refine_threshold is not None:
         from takco_spark.operators.refine import refine_clusters
