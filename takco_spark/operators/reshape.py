@@ -111,6 +111,97 @@ def find_pivot_cells(headers: DataFrame, finder: str = "num_suffix",
     ).withColumn("pivot_val", F.trim(F.regexp_extract(t, pattern, val_g)))
 
 
+def seq_prefix_pivots(headers: DataFrame) -> DataFrame:
+    """F18 SeqPrefix finder (reference findpivot.py:349-391): per header row,
+    the most common first-whitespace-token 'prefix' (count > 1) marks every
+    cell that starts with it (and isn't just the prefix) as a pivot cell;
+    the split is var = prefix, val = remainder.
+
+    Input: long header grid (doc_id, row, col, text). Output: matching rows
+    + (pivot_var, pivot_val). Two windows partitioned by (doc_id, row) — no
+    per-doc Python (the reference's Counter loop becomes a count + top-1).
+    """
+    from pyspark.sql import Window
+
+    pfx = F.expr("element_at(split(trim(text), '\\\\s+'), 1)")
+    with_pfx = headers.withColumn("_pfx", pfx).where(
+        F.col("_pfx").isNotNull() & (F.col("_pfx") != "")
+    )
+    counts = with_pfx.groupBy("doc_id", "row", "_pfx").agg(
+        F.count("*").alias("_n")
+    )
+    w = Window.partitionBy("doc_id", "row").orderBy(
+        F.desc("_n"), F.asc("_pfx")
+    )
+    top = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .where((F.col("_rk") == 1) & (F.col("_n") > 1))
+        .select("doc_id", "row", F.col("_pfx").alias("_top"))
+    )
+    return (
+        headers.join(top, ["doc_id", "row"])
+        .where(
+            F.col("text").startswith(F.col("_top"))
+            & (F.trim("text") != F.col("_top"))
+        )
+        .withColumn("pivot_var", F.col("_top"))
+        .withColumn(
+            "pivot_val",
+            F.trim(F.expr("substring(text, length(_top) + 1)")),
+        )
+        .drop("_top")
+    )
+
+
+def spanned_repeat_pivots(headers: DataFrame) -> DataFrame:
+    """F18 SpannedRepeat finder (reference findpivot.py:394-448): a header
+    cell is a pivot when it SPANS multiple columns (in the dense grid, a run
+    of adjacent equal texts — how the S9 extractor encodes colspan) and some
+    OTHER header row repeats a value (≥ 2 separate runs of one text) within
+    the spanned column range.
+
+    Input: long header grid (doc_id, row, col, text). Pure window/join
+    algebra: run detection via lag, run extents via min/max over the run,
+    run-level repeat counts via a distinct-runs groupBy, then a bounded
+    range join per doc_id.
+    """
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("doc_id", "row").orderBy("col")
+    new_run = (
+        F.coalesce(F.col("text") != F.lag("text").over(wc), F.lit(True))
+    ).cast("int")
+    runs = headers.withColumn("_run", F.sum(new_run).over(wc))
+    wr = Window.partitionBy("doc_id", "row", "_run")
+    cells = runs.select(
+        "doc_id", "row", "col", "text", "_run",
+        F.count("*").over(wr).alias("_span"),
+        F.min("col").over(wr).alias("_from"),
+        F.max("col").over(wr).alias("_to"),
+    )
+    # run-level repeats: a text that forms >= 2 separate runs in one row
+    run_counts = (
+        cells.select("doc_id", "row", "text", "_run").distinct()
+        .groupBy("doc_id", "row", "text")
+        .agg(F.count("*").alias("_nruns"))
+    )
+    repeat_cells = (
+        cells.join(run_counts, ["doc_id", "row", "text"])
+        .where((F.col("_nruns") > 1) & (F.col("text") != ""))
+        .select("doc_id", F.col("row").alias("_rj"), F.col("col").alias("_cj"))
+    )
+    spanning = cells.where((F.col("_span") > 1) & (F.col("text") != ""))
+    return (
+        spanning.join(repeat_cells, "doc_id")
+        .where(
+            (F.col("row") != F.col("_rj"))
+            & F.col("_cj").between(F.col("_from"), F.col("_to"))
+        )
+        .select("doc_id", "row", "col", "text")
+        .distinct()
+    )
+
+
 def _doc_width(n_cols) -> F.Column:
     """Grid width of a span document: explicit ``n_cols`` (int or Column), or
     the single-header-row convention of the S3/S9 sources — header-span

@@ -45,3 +45,28 @@ def test_scoring_plan_python_surface_and_repartition(spark):
         or "hashpartitioning(doc_id_1" in plan
     # whole-stage codegen spans exist (JVM-side matcher columns)
     assert "codegen id" in plan
+
+
+def test_aligned_cap_window_shares_groupby_exchange(spark):
+    """The align_max_cells top-K window partitions on the same keys as the
+    per-pair aggregation, so capping adds a sort but NOT a second
+    pair-keyed exchange (PLANS.md aligned-scoring claim)."""
+    from takco_spark.operators.scoring import score_pairs_aligned
+
+    seg = spark.createDataFrame(
+        [("A", 0, "ax", ["xx"]), ("B", 0, "bx", ["xx"])],
+        "doc_id string, seg int, seg_name string, seg_tokens array<string>",
+    )
+    pairs = spark.createDataFrame(
+        [("A", "B", "k")], "doc_id_1 string, doc_id_2 string, block_key string"
+    )
+    base = dict(aligned=True, align_mode="greedy", agg_expr="jaccard",
+                agg_threshold=0.1)
+    plan_uncapped = _plan(score_pairs_aligned(
+        pairs, seg, PipelineConfig(**base, align_max_cells=0)))
+    plan_capped = _plan(score_pairs_aligned(
+        pairs, seg, PipelineConfig(**base, align_max_cells=8)))
+    count = lambda p: p.count("Exchange hashpartitioning(doc_id_1")
+    assert count(plan_capped) == count(plan_uncapped), (
+        "cap added a pair-keyed exchange")
+    assert "Sort" in plan_capped

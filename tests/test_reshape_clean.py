@@ -117,3 +117,52 @@ def test_pivot_finders_extended(spark):
     ac = got("short_uppercase_acronym")
     assert ac[5] == ("NASA", "NASA")
     assert 6 not in ac
+
+
+def test_seq_prefix_pivots(spark):
+    """F18 SeqPrefix (findpivot.py:349-391): shared first-token prefix marks
+    and splits the cells carrying it."""
+    from takco_spark.operators.reshape import seq_prefix_pivots
+
+    heads = spark.createDataFrame(
+        [("d", 0, 0, "round 1"), ("d", 0, 1, "round 2"), ("d", 0, 2, "name"),
+         ("e", 0, 0, "alpha"), ("e", 0, 1, "beta")],
+        "doc_id string, row int, col int, text string",
+    )
+    out = {(r["doc_id"], r["col"]): (r["pivot_var"], r["pivot_val"])
+           for r in seq_prefix_pivots(heads).collect()}
+    assert out == {("d", 0): ("round", "1"), ("d", 1): ("round", "2")}
+
+
+def test_spanned_repeat_pivots(spark):
+    """F18 SpannedRepeat (findpivot.py:394-448): a colspan-run cell over a
+    column range where another header row repeats a value."""
+    from takco_spark.operators.reshape import spanned_repeat_pivots
+
+    # row 0: 'score' spans cols 1-2 (dense-grid replication);
+    # row 1: 'home'/'away' under it, and 'pts' repeats in 2 separate runs
+    heads = spark.createDataFrame(
+        [("d", 0, 0, "team"), ("d", 0, 1, "score"), ("d", 0, 2, "score"),
+         ("d", 1, 0, "name"), ("d", 1, 1, "pts"), ("d", 1, 2, "pts2"),
+         ("d", 2, 0, "x"), ("d", 2, 1, "pts"), ("d", 2, 2, "pts")],
+        "doc_id string, row int, col int, text string",
+    )
+    # 'pts' appears in rows 1 and 2 but within row 1 it's a single run and
+    # row 2 it's ONE adjacent run (colspan), so no repeat -> only trigger is
+    # a genuinely repeating value in another row inside the span:
+    out = {(r["row"], r["col"]) for r in spanned_repeat_pivots(heads).collect()}
+    assert out == set()  # no non-adjacent repeats anywhere
+
+    heads2 = spark.createDataFrame(
+        [("d", 0, 0, "2004"), ("d", 0, 1, "2004"), ("d", 0, 2, "2005"),
+         ("d", 0, 3, "2005"),
+         ("d", 1, 0, "pts"), ("d", 1, 1, "rank"), ("d", 1, 2, "pts"),
+         ("d", 1, 3, "rank")],
+        "doc_id string, row int, col int, text string",
+    )
+    out2 = {(r["row"], r["col"], r["text"])
+            for r in spanned_repeat_pivots(heads2).collect()}
+    # the year cells span 2 cols each, and 'pts'/'rank' repeat as separate
+    # runs in row 1 inside each span -> all four year cells are pivots
+    assert out2 == {(0, 0, "2004"), (0, 1, "2004"), (0, 2, "2005"),
+                    (0, 3, "2005")}
