@@ -328,7 +328,7 @@ def block_documents(
 
 
 def candidate_pairs(blocks: DataFrame) -> DataFrame:
-    """Self-equi-join on (block_key, salt) → canonical deduplicated pairs.
+    """Within-block pairing → canonical deduplicated pairs.
 
     ``doc_id_1 < doc_id_2`` canonicalization (reference drops self matches and
     already-seen pairs, /root/reference/takco/cluster/cluster.py:383,392-397);
@@ -336,20 +336,30 @@ def candidate_pairs(blocks: DataFrame) -> DataFrame:
     ``block_key`` (the min) so the F1-at-shared-blocking-key metric can group
     by it, and dedup on the pair.
 
-    AQE skew-join handles residual imbalance; the salting above bounds the
-    worst key before the join even starts.
+    Physical shape: ONE groupBy of the block stream into (key, salt) buckets
+    (``collect_set`` → partial aggregation map-side), then the pair
+    combinations are generated INSIDE each bucket row with array higher-order
+    functions and exploded. Versus the naive self-equi-join this shuffles the
+    57M-row block stream once instead of twice, builds no join hash maps,
+    and lets singleton buckets (the vast majority of LSH bands) die in the
+    size filter without ever reaching a join. Bucket size is bounded by the
+    upstream cap/salting (``max_block_size``/``salt_threshold``), so the
+    per-row combination payload is bounded too — safe at any corpus scale.
     """
-    left = blocks.alias("a")
-    right = blocks.alias("b")
-    pairs = (
-        left.join(right, on=["block_key", "salt"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_id_1"),
-            F.col("b.doc_id").alias("doc_id_2"),
-            F.col("block_key"),
-        )
+    buckets = (
+        blocks.groupBy("block_key", "salt")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
-    return pairs.groupBy("doc_id_1", "doc_id_2").agg(
-        F.min("block_key").alias("block_key")
-    )
+    # ids sorted ascending → (x, every later y) enumerates each unordered
+    # pair exactly once with doc_id_1 < doc_id_2 by construction
+    pair_structs = F.expr("""
+      flatten(transform(ids, (x, i) ->
+        transform(slice(ids, i + 2, size(ids) - i - 1),
+                  y -> struct(x as doc_id_1, y as doc_id_2))))
+    """)
+    exploded = buckets.select("block_key", F.explode(pair_structs).alias("p"))
+    return exploded.groupBy(
+        F.col("p.doc_id_1").alias("doc_id_1"),
+        F.col("p.doc_id_2").alias("doc_id_2"),
+    ).agg(F.min("block_key").alias("block_key"))
