@@ -88,6 +88,105 @@ def read_tabel(spark: SparkSession, path: str) -> DataFrame:
     return tabel_to_documents(spark.read.schema(TABEL_SCHEMA).json(path))
 
 
+# --------------------------------------------------------------------------
+# T2D v2 (the gold-standard web-table annotation corpus layout)
+# Reference: /root/reference/takco/evaluate/dataset/t2d.py:12-215 —
+#   tables/        one JSON per table, "relation" = COLUMN-major grid
+#   instance/      one CSV per table: (entity_uri, celltext, rownum)
+#   property/      one CSV per table: (property_uri, header, iskey, colnum)
+#   classes_GS.csv               rows: (table_fname, label, class_uri)
+# --------------------------------------------------------------------------
+
+def _t2d_name(col: F.Column) -> F.Column:
+    """Table name = file stem before the first dot (reference get_name)."""
+    return F.element_at(
+        F.split(F.element_at(F.split(col, "/"), -1), r"\."), 1
+    )
+
+
+def t2d_fix_uri(col) -> F.Column:
+    """The SQL-expressible core of the reference's fix_uri
+    (t2d.py:96-111): percent-decode and normalize the dbpedia host/path
+    variants. (The reference additionally html-unescapes and re-quotes the
+    resource part with a custom safe-set — Python-specific cosmetics we
+    document out; gold joins compare like-normalized URIs on both sides.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.url_decode(c)
+    c = F.replace(c, F.lit("dbpedia_org"), F.lit("dbpedia.org"))
+    return F.replace(c, F.lit("/page/"), F.lit("/resource/"))
+
+
+def read_t2d_tables(spark: SparkSession, tabledir: str) -> DataFrame:
+    """S10: T2D v2 ``tables/*.json`` → span documents.
+
+    Each file is ONE JSON object whose ``relation`` is a column-major grid
+    (the reference transposes with ``zip(*...)``, t2d.py:113-116); here the
+    transpose is array algebra on the scan output. Row 0 becomes the header
+    row (reference default numheaderrows=1). Distributed: one task per file
+    group, no driver-side parsing.
+    """
+    raw = (
+        spark.read.schema("relation array<array<string>>")
+        .option("multiLine", "true")
+        .json(tabledir)
+        .select(
+            _t2d_name(F.input_file_name()).alias("doc_id"), "relation"
+        )
+        .where(F.expr("size(relation) > 0"))
+    )
+    # transpose column-major relation → row-major cells, then spans
+    spans = F.expr("""
+      transform(
+        flatten(transform(sequence(0, size(relation[0]) - 1), i ->
+          transform(sequence(0, size(relation) - 1), j ->
+            struct(i as r, relation[j][i] as t)))),
+        (c, k) -> struct(
+          CASE WHEN c.r = 0 THEN 'header' ELSE 'cell' END as kind,
+          coalesce(c.t, '') as text, '' as media_ref, cast(k as int) as offset))
+    """)
+    return raw.select("doc_id", spans.alias("spans"))
+
+
+def read_t2d_entity_gold(spark: SparkSession, instancedir: str) -> DataFrame:
+    """T2D ``instance/*.csv`` → (doc_id, row, entity, celltext): row-level
+    entity gold for the table's key column (reference get_table_entities,
+    t2d.py:195-215; rownum is 1-based-including-header → −1)."""
+    raw = spark.read.csv(instancedir, schema="uri string, celltext string, rownum int")
+    return raw.select(
+        _t2d_name(F.input_file_name()).alias("doc_id"),
+        (F.col("rownum") - 1).alias("row"),
+        t2d_fix_uri("uri").alias("entity"),
+        "celltext",
+    ).where(F.col("entity").isNotNull())
+
+
+def read_t2d_property_gold(spark: SparkSession, propdir: str) -> DataFrame:
+    """T2D ``property/*.csv`` → (doc_id, col, property, header, is_key):
+    column-level property gold (reference get_table_properties /
+    get_table_keycol_from_props, t2d.py:120-165)."""
+    raw = spark.read.csv(
+        propdir, schema="uri string, header string, iskey string, colnum int"
+    )
+    return raw.select(
+        _t2d_name(F.input_file_name()).alias("doc_id"),
+        F.col("colnum").alias("col"),
+        t2d_fix_uri("uri").alias("property"),
+        "header",
+        (F.lower(F.coalesce("iskey", F.lit(""))) == "true").alias("is_key"),
+    ).where(F.col("property").isNotNull())
+
+
+def read_t2d_classes(spark: SparkSession, classfile: str) -> DataFrame:
+    """T2D ``classes_GS.csv`` → (doc_id, label, class): table-level class
+    gold (reference get_table_class, t2d.py:166-180)."""
+    raw = spark.read.csv(classfile, schema="fname string, label string, uri string")
+    return raw.select(
+        _t2d_name(F.col("fname")).alias("doc_id"),
+        "label",
+        t2d_fix_uri("uri").alias("class"),
+    ).where(F.col("class").isNotNull())
+
+
 def gold_mentions(documents: DataFrame) -> DataFrame:
     """Gold entity annotations from loaded TabEL documents:
     (doc_id, offset, surface, entity) — one row per linked cell. This is the

@@ -224,3 +224,41 @@ def test_tabel_gold_loader(spark):
             for r in gold_mentions(docs).collect()}
     assert gold[("sample-0001", 2)] == "Amsterdam"
     assert ("sample-0001", 5) not in gold
+
+
+def test_t2d_gold_loader(spark):
+    """S10: T2D v2 layout — column-major table JSON transposed to row-major
+    spans; instance/property/class gold CSVs parsed with URI normalization
+    (reference t2d.py:12-215)."""
+    from takco_spark.sources.gold import (
+        read_t2d_classes,
+        read_t2d_entity_gold,
+        read_t2d_property_gold,
+        read_t2d_tables,
+    )
+
+    base = "tests/data/t2d_sample"
+    docs = {r["doc_id"]: [(s["kind"], s["text"]) for s in r["spans"]]
+            for r in read_t2d_tables(spark, f"{base}/tables").collect()}
+    assert docs["cities"] == [
+        ("header", "city"), ("header", "country"),
+        ("cell", "Amsterdam"), ("cell", "Netherlands"),
+        ("cell", "Utrecht"), ("cell", "Netherlands"),
+    ]
+    assert docs["rivers"] == [("header", "river"), ("cell", "Rhine")]
+
+    ents = {(r["doc_id"], r["row"]): r["entity"]
+            for r in read_t2d_entity_gold(spark, f"{base}/instance").collect()}
+    # dbpedia_org + /page/ normalized; rownum 1-based -> row 1 is first body row
+    assert ents[("cities", 1)] == "http://dbpedia.org/resource/Amsterdam"
+    assert ents[("cities", 2)] == "http://dbpedia.org/resource/Utrecht"
+
+    props = {(r["doc_id"], r["col"]): (r["property"], r["is_key"])
+             for r in read_t2d_property_gold(spark, f"{base}/property").collect()}
+    assert props[("cities", 0)] == ("http://www.w3.org/2000/01/rdf-schema#label", True)
+    assert props[("cities", 1)][1] is False
+
+    cls = {r["doc_id"]: r["class"]
+           for r in read_t2d_classes(spark, f"{base}/classes_GS.csv").collect()}
+    assert cls == {"cities": "http://dbpedia.org/ontology/City",
+                   "rivers": "http://dbpedia.org/ontology/River"}
