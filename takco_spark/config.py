@@ -19,6 +19,11 @@ class PipelineConfig:
     #: minimum token length considered a blocking key (reference skips short /
     #: numeric cells for lookup, takco/link/base.py:200-201).
     min_token_len: int = 2
+    #: represent block keys as xxhash64 longs instead of prefixed strings
+    #: inside the pipeline (identity-only keys; 8 bytes vs 12-20-byte strings
+    #: across the two biggest shuffles). 64-bit collisions only ADD candidate
+    #: pairs (scored away downstream) — see operators.blocking.token_blocks.
+    hashed_keys: bool = True
     #: blocks larger than this are dropped entirely (stop-word-like keys whose
     #: pair blowup is quadratic); the drop is COUNTED and logged, never silent.
     max_block_size: int = 200

@@ -64,18 +64,39 @@ def _salt_excluded_expr(salt_threshold: int, max_block_size: int):
     ).cast("long")
 
 
-def token_blocks(features: DataFrame, cfg: PipelineConfig) -> DataFrame:
+#: namespace ids carried alongside hashed keys (stats attribution; the
+#: string-keyed API encodes the namespace in the key prefix instead)
+NS_TOKEN, NS_MINHASH, NS_EMBEDDING = 0, 1, 2
+_NS_NAMES = {NS_TOKEN: "token", NS_MINHASH: "minhash", NS_EMBEDDING: "embedding"}
+
+
+def token_blocks(features: DataFrame, cfg: PipelineConfig,
+                 hashed: bool = False) -> DataFrame:
     """(doc_id, tokens) → (block_key='tok:'+token, doc_id). One shuffle
-    (explode is narrow; the distinct-per-doc is already done upstream)."""
-    return features.select(
+    (explode is narrow; the distinct-per-doc is already done upstream).
+
+    ``hashed=True`` emits ``block_key = xxhash64(token)`` (long) instead of
+    the string key — the pipeline's shuffle-byte optimization (a block key
+    only needs IDENTITY, not content; hashing shrinks the 37M-row key stream
+    from ~12-20-byte strings to 8-byte longs and makes every downstream
+    groupBy/join hash fixed-width). xxhash64(token) is exactly the hash the
+    MinHash signature path uses for its token stream, so hot-KEY hashes from
+    this stream double as the signature exclusion list with no re-derivation.
+    64-bit collisions merge two blocks spuriously (P ≈ n²/2⁶⁵ ≈ 10⁻⁵ at 37M
+    keys) — harmless: a merged block only ADDS candidate pairs, which scoring
+    filters."""
+    tok = features.select(
         "doc_id", F.explode("tokens").alias("token")
-    ).where(F.length("token") >= cfg.min_token_len).select(
-        F.concat(F.lit("tok:"), F.col("token")).alias("block_key"), "doc_id"
-    )
+    ).where(F.length("token") >= cfg.min_token_len)
+    key = (F.xxhash64("token") if hashed
+           else F.concat(F.lit("tok:"), F.col("token")))
+    return tok.select(key.alias("block_key"), "doc_id")
 
 
 def minhash_blocks(features: DataFrame, cfg: PipelineConfig,
-                   exclude_tokens: list[str] | None = None) -> DataFrame:
+                   exclude_tokens: list[str] | None = None,
+                   exclude_hashes: list[int] | None = None,
+                   hashed: bool = False) -> DataFrame:
     """(doc_id, tokens) → one block key per LSH band: 'lsh{band}:{bandhash}'.
 
     Token hashing (xxhash64) runs JVM-side; the signature+banding runs in one
@@ -88,6 +109,14 @@ def minhash_blocks(features: DataFrame, cfg: PipelineConfig,
     1.0M at 240k). Dropping tokens that are globally hot (same threshold as
     the block-size cap) zeroes the random-collision Jaccard while leaving
     true-duplicate similarity intact.
+
+    ``exclude_hashes``: the same stop-token exclusion applied AFTER token
+    hashing (values compared against xxhash64(token)) — what the pipeline
+    passes when its hot-key list is already hashed (token_blocks hashed=True).
+
+    ``hashed=True`` emits ``block_key = xxhash64(band, band_hash)`` (long)
+    instead of the string key (see token_blocks on why identity-only keys
+    should be fixed-width).
     """
     lsh_udf = make_lsh_band_udf(cfg.num_perm, cfg.lsh_bands, cfg.minhash_seed)
     toks = F.col("tokens")
@@ -95,19 +124,22 @@ def minhash_blocks(features: DataFrame, cfg: PipelineConfig,
         toks = F.array_except(
             toks, F.array(*[F.lit(t) for t in exclude_tokens])
         )
-    hashed = features.select(
-        "doc_id",
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("token_hashes"),
+    token_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if exclude_hashes:
+        token_hashes = F.array_except(
+            token_hashes,
+            F.array(*[F.lit(h).cast("long") for h in exclude_hashes]),
+        )
+    hashed_df = features.select(
+        "doc_id", token_hashes.alias("token_hashes")
     )
-    banded = hashed.select(
+    banded = hashed_df.select(
         "doc_id", F.posexplode(lsh_udf("token_hashes")).alias("band", "band_hash")
     )
-    return banded.select(
-        F.concat(
-            F.lit("lsh"), F.col("band"), F.lit(":"), F.col("band_hash")
-        ).alias("block_key"),
-        "doc_id",
-    )
+    key = (F.xxhash64("band", "band_hash") if hashed
+           else F.concat(F.lit("lsh"), F.col("band"), F.lit(":"),
+                         F.col("band_hash")))
+    return banded.select(key.alias("block_key"), "doc_id")
 
 
 def apply_block_caps(
@@ -229,53 +261,78 @@ def block_documents(
     ``embeddings``: (doc_id, emb) table required by the 'embedding' blocker
     (random-hyperplane buckets — the FAISS-blocking analog, SURVEY.md J3).
     """
+    hashed = cfg.hashed_keys
     # the token key stream is shared: it feeds the union AND (persisted) the
     # hot-token derivation for the minhash exclude list — one explode, one
     # sizes groupBy, instead of a separate global_hot_tokens scan
     tb: DataFrame | None = None
     if "minhash" in cfg.blockers and "token" in cfg.blockers:
-        tb = token_blocks(features, cfg).persist()
+        tb = token_blocks(features, cfg, hashed=hashed).persist()
 
     parts: list[DataFrame] = []
     for blocker in cfg.blockers:
         if blocker == "token":
-            parts.append(tb if tb is not None else token_blocks(features, cfg))
+            part = tb if tb is not None else token_blocks(features, cfg,
+                                                          hashed=hashed)
+            ns = NS_TOKEN
         elif blocker == "minhash":
             if tb is not None:
-                hot = _collect_hot(
+                hot_df = (
                     tb.groupBy("block_key").agg(F.count("*").alias("df"))
                     .where(F.col("df") > cfg.max_block_size)
-                    .select(
-                        F.expr("substring(block_key, 5)").alias("token"), "df"
-                    )
                 )
+                if hashed:
+                    # hashed token keys ARE xxhash64(token) — the exact hash
+                    # the signature path applies, so the hot-key list is the
+                    # exclusion list with no token recovery needed
+                    hot = _collect_hot(
+                        hot_df.select(F.col("block_key").alias("token"), "df")
+                    )
+                    part = minhash_blocks(features, cfg, exclude_hashes=hot,
+                                          hashed=True)
+                else:
+                    hot = _collect_hot(
+                        hot_df.select(
+                            F.expr("substring(block_key, 5)").alias("token"),
+                            "df",
+                        )
+                    )
+                    part = minhash_blocks(features, cfg, exclude_tokens=hot)
             else:
                 hot = global_hot_tokens(features, cfg)
-            parts.append(minhash_blocks(features, cfg, exclude_tokens=hot))
+                part = minhash_blocks(features, cfg, exclude_tokens=hot,
+                                      hashed=hashed)
+            ns = NS_MINHASH
         elif blocker == "embedding":
             if embeddings is None:
                 raise ValueError("'embedding' blocker requires an embeddings table")
             from takco_spark.operators.embedding import embedding_blocks
 
-            parts.append(
-                embedding_blocks(embeddings, cfg.embedding_dim,
-                                 cfg.emb_n_bits, cfg.seed)
-            )
+            part = embedding_blocks(embeddings, cfg.embedding_dim,
+                                    cfg.emb_n_bits, cfg.seed)
+            if hashed:
+                part = part.select(
+                    F.xxhash64("block_key").alias("block_key"), "doc_id"
+                )
+            ns = NS_EMBEDDING
         else:
             raise ValueError(f"unknown blocker {blocker!r}")
+        parts.append(part.select(
+            F.lit(ns).cast("tinyint").alias("ns"), "block_key", "doc_id"
+        ))
     raw = parts[0]
     for p in parts[1:]:
         raw = raw.unionByName(p)
 
     raw = raw.persist()
-    sizes = raw.groupBy("block_key").agg(F.count("*").alias("n")).persist()
-    blocker_of = (
-        F.when(F.col("block_key").startswith("tok:"), F.lit("token"))
-        .when(F.col("block_key").startswith("emb:"), F.lit("embedding"))
-        .otherwise(F.lit("minhash"))
-    )
+    # key namespaces are disjoint (string mode: prefixes; hashed mode: the
+    # ~10⁻⁵ cross-namespace collision odds documented on token_blocks), so
+    # max(ns) attributes each key to its blocker for the stats rollup
+    sizes = raw.groupBy("block_key").agg(
+        F.count("*").alias("n"), F.max("ns").alias("ns")
+    ).persist()
     srows = (
-        sizes.groupBy(blocker_of.alias("blocker"))
+        sizes.groupBy("ns")
         .agg(
             F.count("*").alias("total"),
             F.sum((F.col("n") > cfg.max_block_size).cast("long")).alias("dropped"),
@@ -293,7 +350,7 @@ def block_documents(
     )
     stats = [
         BlockingStats(
-            blocker=r["blocker"],
+            blocker=_NS_NAMES.get(r["ns"], str(r["ns"])),
             total_keys=int(r["total"] or 0),
             dropped_keys=int(r["dropped"] or 0),
             salted_keys=int(r["salted"] or 0),

@@ -187,6 +187,128 @@ def read_t2d_classes(spark: SparkSession, classfile: str) -> DataFrame:
     ).where(F.col("class").isNotNull())
 
 
+# --------------------------------------------------------------------------
+# SemTab (the ISWC semantic-table-annotation challenge layout)
+# Reference: /root/reference/takco/evaluate/dataset/semtab.py:17-69 —
+#   tables/*.csv     one table per file, row 0 = header, rest data
+#   entity columns   = columns where LESS than half the cells match the
+#                      numeric regex ^[\d.,\-\+\%]+$ (ISNUMBER, semtab.py:18)
+#   CEA/CTA/CPA      target + annotation CSVs: (table, row, col[, uri]) /
+#                      (table, col[, uri]) / (table, fromcol, tocol[, uri])
+#                      (semtab.py:87-101,115-128,140-153)
+# --------------------------------------------------------------------------
+
+#: the reference's ISNUMBER regex (semtab.py:18), RE2-compatible
+SEMTAB_ISNUMBER = r"^[0-9.,\-\+\%]+$"
+
+
+def read_semtab_tables(spark: SparkSession, tabledir: str) -> DataFrame:
+    """S10: SemTab ``tables/*.csv`` → span documents.
+
+    Each file is one table (reference Semtab.tables, semtab.py:27-45): row 0
+    becomes the header row, the rest data rows. Delegates to the S3 per-file
+    CSV source (order-preserving mapInPandas parse); doc_id is the file stem
+    before the first dot (reference get_name, semtab.py:20-21).
+    """
+    from takco_spark.sources.readers import read_csv_tables
+
+    docs = read_csv_tables(spark, tabledir, header=True)
+    return docs.select(_t2d_name(F.col("doc_id")).alias("doc_id"), "spans")
+
+
+def semtab_entity_columns(documents: DataFrame) -> DataFrame:
+    """Entity-column detection → (doc_id, col, n_cells, n_numeric, is_entity).
+
+    Reference semantics (semtab.py:32-36): a column is an entity column when
+    FEWER than half its cells (header included — the reference zips over all
+    ``rows``) match ISNUMBER. Column index is recovered from the row-major
+    span offsets as ``offset % ncols`` with ncols = header-span count; pure
+    Column algebra, one shuffle (the per-column groupBy).
+    """
+    ncols = F.size(F.filter("spans", lambda s: s["kind"] == F.lit("header")))
+    cells = documents.select(
+        "doc_id",
+        F.greatest(ncols, F.lit(1)).alias("_nc"),
+        F.explode("spans").alias("s"),
+    ).select(
+        "doc_id",
+        F.pmod(F.col("s.offset"), F.col("_nc")).cast("int").alias("col"),
+        F.col("s.text").rlike(SEMTAB_ISNUMBER).cast("long").alias("_isnum"),
+    )
+    return cells.groupBy("doc_id", "col").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("_isnum").alias("n_numeric"),
+    ).select(
+        "doc_id", "col", "n_cells", "n_numeric",
+        (F.col("n_numeric") < F.col("n_cells") / 2).alias("is_entity"),
+    )
+
+
+def read_semtab_cea(spark: SparkSession, path: str) -> DataFrame:
+    """CEA target/annotation CSV → (doc_id, row, col, entity). The uri column
+    is empty/absent in target files ("3 or 4 columns", semtab.py:87-96); rows
+    are 1-based-including-header in the challenge format, kept as-is (the
+    reference converts at export, semtab.py:97)."""
+    raw = spark.read.csv(path, schema="table string, ri int, ci int, uri string")
+    return raw.select(
+        F.col("table").alias("doc_id"),
+        F.col("ri").alias("row"),
+        F.col("ci").alias("col"),
+        F.coalesce("uri", F.lit("")).alias("entity"),
+    )
+
+
+def read_semtab_cta(spark: SparkSession, path: str) -> DataFrame:
+    """CTA target/annotation CSV → (doc_id, col, class) (semtab.py:115-128)."""
+    raw = spark.read.csv(path, schema="table string, ci int, uri string")
+    return raw.select(
+        F.col("table").alias("doc_id"),
+        F.col("ci").alias("col"),
+        F.coalesce("uri", F.lit("")).alias("class"),
+    )
+
+
+def read_semtab_cpa(spark: SparkSession, path: str) -> DataFrame:
+    """CPA target/annotation CSV → (doc_id, from_col, to_col, property)
+    (semtab.py:140-153)."""
+    raw = spark.read.csv(
+        path, schema="table string, fromci int, toci int, uri string"
+    )
+    return raw.select(
+        F.col("table").alias("doc_id"),
+        F.col("fromci").alias("from_col"),
+        F.col("toci").alias("to_col"),
+        F.coalesce("uri", F.lit("")).alias("property"),
+    )
+
+
+def to_cea_annotations(predictions: DataFrame, targets: DataFrame) -> DataFrame:
+    """Prediction votes → one CEA annotation row per target cell.
+
+    ``predictions``: (doc_id, row, col, entity) — one row per VOTE (the
+    reference's per-cell Counter, semtab.py:97-101). ``targets``: the CEA
+    target table (read_semtab_cea). Output keeps the target's (doc_id, row,
+    col) and the majority entity; targets with no prediction are dropped,
+    matching the reference's annotated/total accounting. Tie-break is
+    lexicographic-min entity (deterministic; the reference inherits dict
+    order). One groupBy + one broadcast-able join; W3 top-1 pattern.
+    """
+    from pyspark.sql import Window
+
+    votes = predictions.where(F.col("entity") != "").groupBy(
+        "doc_id", "row", "col", "entity"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id", "row", "col").orderBy(
+        F.col("n").desc(), "entity"
+    )
+    best = votes.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") == 1
+    ).select("doc_id", "row", "col", "entity")
+    return targets.select("doc_id", "row", "col").join(
+        best, ["doc_id", "row", "col"], "inner"
+    )
+
+
 def gold_mentions(documents: DataFrame) -> DataFrame:
     """Gold entity annotations from loaded TabEL documents:
     (doc_id, offset, surface, entity) — one row per linked cell. This is the

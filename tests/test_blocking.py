@@ -93,3 +93,23 @@ def test_salted_pair_loss_estimate_observable(spark):
         .where("a.doc_id < b.doc_id").count()
     )
     assert pairs < n * (n - 1) / 2
+
+
+def test_hashed_keys_equivalent_pairs_and_stats(spark):
+    """cfg.hashed_keys swaps string block keys for xxhash64 longs — the
+    candidate-pair SET and the per-blocker stats must be identical (key
+    hashing changes identity representation, never block membership)."""
+    feats = _features(spark, n=80)
+    base = dict(blockers=("token", "minhash"), max_block_size=30, salt_threshold=10)
+    b_str, st_str = block_documents(feats, PipelineConfig(hashed_keys=False, **base))
+    b_hash, st_hash = block_documents(feats, PipelineConfig(hashed_keys=True, **base))
+    assert dict(b_hash.dtypes)["block_key"] == "bigint"
+    assert dict(b_str.dtypes)["block_key"] == "string"
+    p_str = {(r["doc_id_1"], r["doc_id_2"])
+             for r in candidate_pairs(b_str).collect()}
+    p_hash = {(r["doc_id_1"], r["doc_id_2"])
+              for r in candidate_pairs(b_hash).collect()}
+    assert p_str == p_hash and p_str
+    key = lambda sts: {s.blocker: (s.total_keys, s.dropped_keys, s.salted_keys,
+                                   s.salted_pairs_excluded_est) for s in sts}
+    assert key(st_str) == key(st_hash)

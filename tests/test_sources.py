@@ -262,3 +262,58 @@ def test_t2d_gold_loader(spark):
            for r in read_t2d_classes(spark, f"{base}/classes_GS.csv").collect()}
     assert cls == {"cities": "http://dbpedia.org/ontology/City",
                    "rivers": "http://dbpedia.org/ontology/River"}
+
+
+def test_semtab_gold_loader(spark):
+    """S10: SemTab layout — per-file CSV tables, ISNUMBER entity-column
+    heuristic (header included in the majority vote), CEA/CTA/CPA target
+    readers, and the top-1-vote CEA exporter (reference semtab.py:17-153)."""
+    from takco_spark.sources.gold import (
+        read_semtab_cea,
+        read_semtab_cpa,
+        read_semtab_cta,
+        read_semtab_tables,
+        semtab_entity_columns,
+        to_cea_annotations,
+    )
+
+    base = "tests/data/semtab_sample"
+    docs = read_semtab_tables(spark, f"{base}/tables")
+    got = {r["doc_id"]: [(s["kind"], s["text"]) for s in r["spans"]]
+           for r in docs.collect()}
+    assert got["CTRL_SPORT_2"] == [
+        ("header", "player"), ("header", "team"),
+        ("cell", "Lionel Messi"), ("cell", "Barcelona"),
+        ("cell", "Pele"), ("cell", "Santos"),
+    ]
+
+    ent = {(r["doc_id"], r["col"]): r["is_entity"]
+           for r in semtab_entity_columns(docs).collect()}
+    # city: 0/4 numeric -> entity; population: 3/4 ("123,000" matches the
+    # comma-inclusive regex) -> numeric; founded: 3/4 -> numeric
+    assert ent[("CTRL_CITY_1", 0)] is True
+    assert ent[("CTRL_CITY_1", 1)] is False
+    assert ent[("CTRL_CITY_1", 2)] is False
+    assert ent[("CTRL_SPORT_2", 0)] is True and ent[("CTRL_SPORT_2", 1)] is True
+
+    targets = read_semtab_cea(spark, f"{base}/targets/cea_targets.csv")
+    assert targets.count() == 3 and targets.where("entity != ''").count() == 0
+    gold = read_semtab_cea(spark, f"{base}/targets/cea_gold.csv")
+    assert gold.collect()[0]["entity"].endswith("/Amsterdam")
+    assert read_semtab_cta(
+        spark, f"{base}/targets/cta_gold.csv"
+    ).collect()[0]["class"].endswith("/City")
+    cpa = read_semtab_cpa(spark, f"{base}/targets/cpa_gold.csv").collect()[0]
+    assert (cpa["from_col"], cpa["to_col"]) == (0, 1)
+    assert cpa["property"].endswith("populationTotal")
+
+    # exporter: 2 votes Amsterdam vs 1 Amstelredamme on (1,0); no votes for
+    # (2,0) -> dropped; vote on a non-target cell -> not exported
+    preds = spark.createDataFrame(
+        [("CTRL_CITY_1", 1, 0, "A1"), ("CTRL_CITY_1", 1, 0, "A1"),
+         ("CTRL_CITY_1", 1, 0, "A2"), ("CTRL_CITY_1", 9, 9, "X"),
+         ("CTRL_SPORT_2", 1, 0, "")],
+        "doc_id string, row int, col int, entity string")
+    ann = {(r["doc_id"], r["row"], r["col"]): r["entity"]
+           for r in to_cea_annotations(preds, targets).collect()}
+    assert ann == {("CTRL_CITY_1", 1, 0): "A1"}
