@@ -33,6 +33,12 @@ efficiency but ANTI-scales 4→16 (the machine saturates: SMT + shared memory
 bandwidth + neighbors). 4→16 therefore measures the sandbox, not the
 engine; the honest in-capacity N→4N pair is local[1]→local[4]. On a real
 multi-executor cluster N and 4N are executor counts with private bandwidth.
+
+JVMs run UNPINNED (no taskset affinity): measured (BASELINE.md, r3) —
+pinning leaves the local[1] wall unchanged (the lone task thread is the
+bottleneck) but throttles local[4] ~33%, because a 4-task JVM legitimately
+overlaps Python workers/GC/shuffle-IO threads beyond its task cores, as
+real executors do on cluster hosts.
 """
 
 from __future__ import annotations

@@ -309,6 +309,205 @@ def to_cea_annotations(predictions: DataFrame, targets: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# ToughTables (2T / 2T_WD — the SemTab-2020 hard split)
+# Reference: /root/reference/takco/evaluate/dataset/toughtables.py:15-94 —
+#   tables/*.csv in the SemTab layout; gt/CEA_{part}_gt.csv rows are
+#   (table, col, row, entities) with SPACE-separated multi-entity cells and
+#   1-based-including-header rows; in the 2T_WD part the row and column
+#   indices are SWAPPED (toughtables.py:77-79); table categories come from
+#   filename regexes (toughtables.py:15-26).
+# --------------------------------------------------------------------------
+
+#: reference `categories` dict (toughtables.py:15-26); ^-anchored for
+#: re.match parity, ordered — first match wins
+TOUGHTABLES_CATEGORIES = (
+    ("CTRL_NOISE2", r"^CTRL_.+_NOISE2"),
+    ("TOUGH_NOISE1", r"^TOUGH_.+_NOISE1"),
+    ("TOUGH_NOISE2", r"^TOUGH_.+_NOISE2"),
+    ("CTRL_WIKI", r"^CTRL_WIKI"),
+    ("CTRL_DBP", r"^CTRL_DBP"),
+    ("TOUGH_T2D", r"^TOUGH_T2D"),
+    ("TOUGH_MISC", r"^TOUGH_.+_MISC"),
+    ("TOUGH_MISSP", r"^TOUGH_.+_MISSP"),
+    ("TOUGH_SORTED", r"^TOUGH_.+_SORTED"),
+    ("TOUGH_HOMO", r"^TOUGH_.+_HOMO"),
+)
+
+
+def toughtables_category(name_col) -> F.Column:
+    """Table name → category label (reference match_cat,
+    toughtables.py:63-67); null when no pattern matches."""
+    c = F.col(name_col) if isinstance(name_col, str) else name_col
+    expr = F.lit(None).cast("string")
+    for cat, pat in reversed(TOUGHTABLES_CATEGORIES):
+        expr = F.when(c.rlike(pat), F.lit(cat)).otherwise(expr)
+    return expr
+
+
+def read_toughtables_cea(spark: SparkSession, path: str,
+                         part: str = "2T") -> DataFrame:
+    """ToughTables CEA gold → (doc_id, row, col, entity, category), one row
+    per entity URI (cells carry space-separated URI lists, toughtables.py:82).
+    Rows are rebased to 0-based body rows (``int(ri) - 1``); the 2T_WD part
+    stores (row, col) swapped and is unswapped here (toughtables.py:77-80).
+    """
+    assert part in ("2T", "2T_WD"), part
+    raw = spark.read.csv(path, schema="table string, a int, b int, ents string")
+    ci = F.col("b") if part == "2T_WD" else F.col("a")
+    ri = F.col("a") if part == "2T_WD" else F.col("b")
+    return raw.select(
+        F.col("table").alias("doc_id"),
+        (ri - 1).cast("int").alias("row"),
+        ci.alias("col"),
+        F.explode(F.split(F.trim(F.coalesce("ents", F.lit(""))), r"\s+")).alias("entity"),
+        toughtables_category("table").alias("category"),
+    ).where(F.col("entity") != "")
+
+
+def read_toughtables_cta(spark: SparkSession, path: str) -> DataFrame:
+    """ToughTables CTA gold → (doc_id, col, class, category), one row per
+    class URI (space-separated multi-class cells, same chunked-gt CSV shape,
+    toughtables.py:68-70)."""
+    raw = spark.read.csv(path, schema="table string, ci int, classes string")
+    return raw.select(
+        F.col("table").alias("doc_id"),
+        F.col("ci").alias("col"),
+        F.explode(
+            F.split(F.trim(F.coalesce("classes", F.lit(""))), r"\s+")
+        ).alias("class"),
+        toughtables_category("table").alias("category"),
+    ).where(F.col("class") != "")
+
+
+# --------------------------------------------------------------------------
+# LimayeGS (the Limaye200 entity-annotation gold standard)
+# Reference: /root/reference/takco/evaluate/dataset/efthymiou.py:15-71 —
+#   tables_instance/*.csv    headerless tables (mojibake-fixed: 3× latin1→
+#                            utf8 round-trip + html unescape, fix/cls.fix)
+#   entities_instance/*.csv  (uri, celltext, rownum); the annotated COLUMN is
+#                            recovered by matching celltext within the row
+# --------------------------------------------------------------------------
+
+def limaye_fix_text(col) -> F.Column:
+    """The reference's mojibake repair (efthymiou.py:26-30): a latin1→utf8
+    re-decode round-trip, applied where it yields valid UTF-8. Spark's
+    ``decode`` substitutes invalid sequences instead of dropping bytes
+    (Python ``errors='ignore'``), so the round-trip is applied ONCE and only
+    when the result contains no substitution character — the common
+    double-encoded case the fix targets; pathological triple-encoding falls
+    back to the raw string. Plus the html unescape for the named entities the
+    gold files actually contain."""
+    c = F.col(col) if isinstance(col, str) else col
+    fixed = F.decode(F.encode(c, "ISO-8859-1"), "UTF-8")
+    # apply only when (a) every source char is latin1-representable (encode
+    # would otherwise lossily '?'-substitute, e.g. '€' or CJK) and (b) the
+    # re-decode produced no substitution char (i.e. the bytes really were
+    # double-encoded UTF-8)
+    latin1_safe = ~c.rlike("[^\\x00-\\xff]")
+    c = F.when(
+        latin1_safe & fixed.isNotNull() & ~fixed.contains("�"), fixed
+    ).otherwise(c)
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def read_limaye_tables(spark: SparkSession, tabledir: str) -> DataFrame:
+    """LimayeGS ``tables_instance/*.csv`` → span documents (headerless —
+    every span kind='cell'; efthymiou.py:55-59), cell text mojibake-fixed."""
+    from takco_spark.sources.readers import read_csv_tables
+
+    docs = read_csv_tables(spark, tabledir, header=False)
+    spans = F.transform(
+        F.col("spans"),
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            limaye_fix_text(s["text"]).alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    return docs.select(
+        _t2d_name(F.col("doc_id")).alias("doc_id"), spans.alias("spans")
+    )
+
+
+def read_limaye_cells(spark: SparkSession, tabledir: str) -> DataFrame:
+    """LimayeGS tables as an exact CELL grid: (doc_id, row, col, text).
+
+    Row/column indices come straight from the per-file CSV parse (same
+    wholetext + mapInPandas shape as the S3 source — distributed, order
+    exact), text mojibake-fixed like :func:`read_limaye_tables`. This is the
+    join side for :func:`read_limaye_entity_gold`, where the reference needs
+    positional lookup (efthymiou.py:44-49) that the flat span sequence only
+    carries implicitly."""
+    import csv as _csv
+    import io
+
+    import pandas as pd
+
+    raw = spark.read.text(tabledir, wholetext=True).select(
+        F.input_file_name().alias("doc_id"), "value"
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "row": [], "col": [], "text": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["value"]):
+                for ri, r in enumerate(_csv.reader(io.StringIO(content or ""))):
+                    for ci, c in enumerate(r):
+                        out["doc_id"].append(doc_id)
+                        out["row"].append(ri)
+                        out["col"].append(ci)
+                        out["text"].append(c)
+            yield pd.DataFrame(out)
+
+    cells = raw.mapInPandas(
+        parse, schema="doc_id string, row int, col int, text string"
+    )
+    return cells.select(
+        _t2d_name(F.col("doc_id")).alias("doc_id"),
+        "row", "col", limaye_fix_text("text").alias("text"),
+    )
+
+
+def read_limaye_entity_gold(spark: SparkSession, entitydir: str,
+                            cells: DataFrame) -> DataFrame:
+    """LimayeGS ``entities_instance/*.csv`` (uri, celltext, rownum) →
+    (doc_id, row, col, entity, celltext).
+
+    The gold file names a row and a CELL TEXT, not a column — the reference
+    recovers the column by matching the text within that row
+    (mapping_entities, efthymiou.py:32-51). Spark shape: equi-join the gold
+    rows against the exact cell grid (:func:`read_limaye_cells`) on
+    (doc_id, row, text) — distributed, no per-file Python loop. Both sides
+    are mojibake-fixed + html-unescaped alike before matching (the
+    reference applies cls.fix/html.unescape to both, efthymiou.py:40,59).
+    URIs are percent-decoded (fix_uri = unquote_plus, efthymiou.py:34).
+    Gold rows whose text matches no cell in the named row are dropped — the
+    reference logs and skips these (efthymiou.py:45-48)."""
+    gold = spark.read.csv(
+        entitydir, schema="uri string, celltext string, rownum int"
+    ).select(
+        _t2d_name(F.input_file_name()).alias("doc_id"),
+        F.url_decode(F.replace("uri", F.lit("+"), F.lit("%20"))).alias("entity"),
+        limaye_fix_text("celltext").alias("celltext"),
+        F.col("rownum").alias("row"),
+    ).where(F.col("entity").isNotNull())
+    return (
+        gold.join(
+            cells.select(
+                "doc_id", "row", "col", F.col("text").alias("celltext")
+            ),
+            ["doc_id", "row", "celltext"],
+        )
+        .select("doc_id", "row", "col", "entity", "celltext")
+        .distinct()
+    )
+
+
 def gold_mentions(documents: DataFrame) -> DataFrame:
     """Gold entity annotations from loaded TabEL documents:
     (doc_id, offset, surface, entity) — one row per linked cell. This is the

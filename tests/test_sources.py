@@ -317,3 +317,67 @@ def test_semtab_gold_loader(spark):
     ann = {(r["doc_id"], r["row"], r["col"]): r["entity"]
            for r in to_cea_annotations(preds, targets).collect()}
     assert ann == {("CTRL_CITY_1", 1, 0): "A1"}
+
+
+def test_toughtables_gold_loader(spark):
+    """S10: ToughTables CEA/CTA gold — space-separated multi-entity cells
+    exploded, 1-based rows rebased, filename-regex categories, and the
+    2T_WD row/col swap (reference toughtables.py:15-94)."""
+    from takco_spark.sources.gold import (
+        read_toughtables_cea,
+        read_toughtables_cta,
+    )
+
+    base = "tests/data/toughtables_sample/gt"
+    cea = read_toughtables_cea(spark, f"{base}/CEA_2T_gt.csv", part="2T")
+    rows = {(r["doc_id"], r["row"], r["col"], r["entity"]): r["category"]
+            for r in cea.collect()}
+    # two URIs in one cell -> two rows; row 2 -> body row 1; (col, row) order
+    assert ("TOUGH_T2D_001", 1, 0,
+            "http://dbpedia.org/resource/Amsterdam") in rows
+    assert ("TOUGH_T2D_001", 1, 0,
+            "http://dbpedia.org/resource/Amsterdam_NL") in rows
+    assert rows[("TOUGH_T2D_001", 1, 0,
+                 "http://dbpedia.org/resource/Amsterdam")] == "TOUGH_T2D"
+    assert rows[("CTRL_WIKI_005", 2, 1,
+                 "http://dbpedia.org/resource/Rhine")] == "CTRL_WIKI"
+    # empty entity cell dropped entirely
+    assert not any(d == "TOUGH_ABC_MISSP" for d, *_ in rows)
+
+    # 2T_WD: stored indices are swapped
+    wd = read_toughtables_cea(spark, f"{base}/CEA_2T_gt.csv", part="2T_WD")
+    r0 = {(r["doc_id"], r["row"], r["col"]) for r in wd.collect()}
+    assert ("TOUGH_T2D_001", -1, 2) in r0  # a=0 becomes the row (0-1), b the col
+
+    cta = read_toughtables_cta(spark, f"{base}/CTA_2T_gt.csv")
+    classes = {r["class"] for r in cta.collect()}
+    assert classes == {"http://dbpedia.org/ontology/City",
+                       "http://dbpedia.org/ontology/Place"}
+
+
+def test_limaye_gold_loader(spark):
+    """S10: LimayeGS — mojibake-fixed headerless tables; entity gold located
+    by (row, celltext) match recovering the column (efthymiou.py:15-71)."""
+    from takco_spark.sources.gold import (
+        read_limaye_cells,
+        read_limaye_entity_gold,
+        read_limaye_tables,
+    )
+
+    base = "tests/data/limaye_sample"
+    docs = read_limaye_tables(spark, f"{base}/tables_instance")
+    spans = docs.collect()[0]["spans"]
+    assert [s["text"] for s in spans] == ["José", "Madrid", "Anna", "Berlin"]
+    assert all(s["kind"] == "cell" for s in spans)
+
+    cells = read_limaye_cells(spark, f"{base}/tables_instance")
+    grid = {(r["row"], r["col"]): r["text"] for r in cells.collect()}
+    assert grid == {(0, 0): "José", (0, 1): "Madrid",
+                    (1, 0): "Anna", (1, 1): "Berlin"}
+
+    gold = read_limaye_entity_gold(spark, f"{base}/entities_instance", cells)
+    got = {(r["row"], r["col"]): r["entity"] for r in gold.collect()}
+    # mojibake matched after both-side fixing; %-decoded URI; unmatched
+    # celltext (NoSuchCell) dropped like the reference's warn+skip
+    assert got == {(0, 0): "http://ex.org/José",
+                   (1, 1): "http://ex.org/Berlin"}
