@@ -105,24 +105,22 @@ def refine_clusters(
     )
     cols = ["doc_id", "cluster_id"] + ([source_col] if source_col else [])
     members = labels.select(*cols)
-    sims_grouped = sims_in_cluster.groupBy("cluster_id").agg(
-        F.collect_list(F.struct("doc_id_1", "doc_id_2", "agg_sim")).alias("sims")
-    )
-    joined = members.join(sims_grouped, "cluster_id", "left")
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        cluster_id = pdf["cluster_id"].iloc[0]
-        items = pdf["doc_id"].tolist()
+    def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:  # sims for a cluster with no member rows: nothing
+            return pd.DataFrame(
+                {"doc_id": [], "cluster_id": [], "refined_id": []}
+            )
+        cluster_id = left["cluster_id"].iloc[0]
+        items = left["doc_id"].tolist()
         forbid = (
-            dict(zip(pdf["doc_id"], pdf[source_col])) if source_col else {}
+            dict(zip(left["doc_id"], left[source_col])) if source_col else {}
         )
         sims: dict[tuple[str, str], float] = {}
-        raw = pdf["sims"].iloc[0]
-        if raw is not None and len(raw) > 0:
-            for s in raw:
-                a, b = s["doc_id_1"], s["doc_id_2"]
-                key = (a, b) if a < b else (b, a)
-                sims[key] = max(sims.get(key, 0.0), float(s["agg_sim"]))
+        for a, b, s in zip(right["doc_id_1"], right["doc_id_2"],
+                           right["agg_sim"]):
+            key = (a, b) if a < b else (b, a)
+            sims[key] = max(sims.get(key, 0.0), float(s))
         assign = _complete_linkage(items, sims, forbid, threshold)
         return pd.DataFrame(
             {
@@ -132,10 +130,17 @@ def refine_clusters(
             }
         )
 
-    # one group per coarse cluster; group payload bounded by max_group_size
-    grouped = joined.groupBy("cluster_id").applyInPandas(
-        lambda pdf: run(pdf), REFINE_SCHEMA
-    )
+    # one COGROUP per coarse cluster: members and sims each shuffle ONCE as
+    # rows (a collect_list-then-join would copy the O(k²) sims payload onto
+    # every member row — k× duplication before the grouping); group payload
+    # stays bounded by max_group_size
+    sims_side = sims_in_cluster.select(
+        F.col("cluster_id").alias("_cid"), "doc_id_1", "doc_id_2", "agg_sim"
+    )  # renamed key: both cogroup sides descend from `labels`, and Spark
+    # rejects the ambiguous self-referenced grouping column otherwise
+    grouped = members.groupBy("cluster_id").cogroup(
+        sims_side.groupBy("_cid")
+    ).applyInPandas(lambda left, right: run(left, right), REFINE_SCHEMA)
     return grouped.unionByName(passthrough)
 
 
