@@ -272,6 +272,37 @@ def q_knn_cosine(spark, sf_dir):
     )
 
 
+def q_emb_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup mining, exact brute-force tier (the oracled
+    baseline; dedup.embedding_neardup_pairs). Threshold 0.4 sits in the
+    synthetic corpus's top similarity tail (max pairwise cos ≈ 0.51; nearest
+    pair to the boundary is 1.3e-4 away — float-noise safe)."""
+    from takco_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(
+        emb, threshold=0.4, id_col="vec_id", emb_col="embedding"
+    )
+    return out.select(
+        "id_1", "id_2", F.round("cos_sim", 4).alias("cos_r")
+    )
+
+
+def q_emb_neardup_lsh(spark, sf_dir):
+    """The bucketed scale tier of embedding near-dup mining (hyperplane LSH
+    → bounded bucket pairs → exact cosine filter). Exact-precision /
+    LSH-recall — rows-only (seeded hyperplanes are not SQL-expressible);
+    recall-vs-exact asserted in pytest."""
+    from takco_spark.operators.dedup import embedding_neardup_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_neardup_lsh(
+        emb, threshold=0.4, n_bits=4, id_col="vec_id",
+        emb_col="embedding", dim=64,
+    )
+    return out.select("id_1", "id_2", F.round("cos_sim", 4).alias("cos_r"))
+
+
 def q_er_cc(spark, sf_dir):
     """Flagship-equivalent, SQL-checkable ER: token blocking → token-set
     Jaccard ≥ 0.6 → connected components → (doc_id, cluster_id)."""
@@ -578,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "knn_cosine": q_knn_cosine,
         "er_cc": q_er_cc,
+        "emb_neardup": q_emb_neardup,
         "emb_pair_scores": q_emb_pair_scores,
         "nary_best_property": q_nary_best_property,
         "salience": q_salience,
@@ -590,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "er_pipeline_spans": q_er_pipeline_spans,
         "knn_lsh": q_knn_lsh,
+        "emb_neardup_lsh": q_emb_neardup_lsh,
         "er_pipeline_aligned": q_er_pipeline_aligned,
     }
 
@@ -782,6 +815,14 @@ def oracle_sql() -> dict[str, str]:
                      round(cos_sim, 4) AS cos_r
               FROM scored)
             SELECT query_id, neighbor_id, rank, cos_r FROM ranked WHERE rank <= 3
+        """,
+        "emb_neardup": """
+            SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS cos_r
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
         "er_cc": """
             WITH RECURSIVE toks AS (

@@ -313,3 +313,85 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
         .where(F.col("hamming") <= max_hamming)
         .select("doc_id_1", "doc_id_2", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate mining (the fifth dedup tier)
+# --------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9,
+    id_col: str = "doc_id", emb_col: str = "emb",
+) -> DataFrame:
+    """EXACT all-pairs cosine near-dup mining → (id_1, id_2, cos_sim),
+    canonical id_1 < id_2, cos_sim >= threshold.
+
+    The brute-force baseline (oracle-checkable; DuckDB twin uses
+    list_cosine_similarity). O(n²) compute with a single non-equi join —
+    correct at any size but quadratic: at corpus scale use
+    :func:`embedding_neardup_lsh`, which buckets first.
+    """
+    from takco_spark.functions.similarity import cosine
+
+    a = embeddings.select(
+        F.col(id_col).alias("id_1"),
+        F.col(emb_col).cast("array<double>").alias("_e1"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_2"),
+        F.col(emb_col).cast("array<double>").alias("_e2"),
+    )
+    return (
+        a.join(b, F.col("id_1") < F.col("id_2"))
+        .select(
+            "id_1", "id_2", cosine(F.col("_e1"), F.col("_e2")).alias("cos_sim")
+        )
+        .where(F.col("cos_sim") >= F.lit(threshold))
+    )
+
+
+def embedding_neardup_lsh(
+    embeddings: DataFrame, threshold: float = 0.9, n_bits: int = 8,
+    seed: int = 42, max_bucket_size: int | None = 500,
+    id_col: str = "doc_id", emb_col: str = "emb", dim: int | None = None,
+) -> DataFrame:
+    """Bucketed near-dup mining at scale: random-hyperplane LSH buckets
+    (4 tables × n_bits, similarity_search.make_hyperplane_udf) → bounded
+    within-bucket candidate pairs → EXACT cosine filter at ``threshold``.
+
+    Precision is exact (every emitted pair passes the true cosine test);
+    recall < 1 by LSH design — pairs whose vectors land in no common bucket
+    are missed, and oversized buckets are dropped under the no-silent-caps
+    rule (count observable via dedup.bucket_cap_stats on the bucket stream).
+    Same candidate-generation contract as minhash_dedup_buckets: never
+    all-pairs, bucket sizes bounded, one shuffle to bucket + one to dedup.
+    """
+    from takco_spark.functions.similarity import cosine
+    from takco_spark.operators.similarity_search import make_hyperplane_udf
+
+    if dim is None:
+        dim = len(embeddings.select(emb_col).first()[0])
+    udf = make_hyperplane_udf(dim, n_bits, seed)
+    banded = embeddings.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(udf(F.col(emb_col))).alias("bucket"),
+    )
+    pairs = _bounded_bucket_pairs(banded, max_bucket_size)
+    e1 = embeddings.select(
+        F.col(id_col).alias("doc_id_1"),
+        F.col(emb_col).cast("array<double>").alias("_e1"),
+    )
+    e2 = embeddings.select(
+        F.col(id_col).alias("doc_id_2"),
+        F.col(emb_col).cast("array<double>").alias("_e2"),
+    )
+    return (
+        pairs.join(e1.hint("shuffle_hash"), "doc_id_1")
+        .join(e2.hint("shuffle_hash"), "doc_id_2")
+        .select(
+            F.col("doc_id_1").alias("id_1"),
+            F.col("doc_id_2").alias("id_2"),
+            cosine(F.col("_e1"), F.col("_e2")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= F.lit(threshold))
+    )

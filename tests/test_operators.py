@@ -244,3 +244,37 @@ def test_simhash_stats_out_observable(spark, dup_docs):
     n = simhash_near_pairs(dup_docs, max_hamming=3, max_bucket_size=10_000,
                            stats_out=stats2).count()
     assert stats2["dropped_buckets"] == 0 and n >= 0
+
+
+def test_embedding_neardup_exact_and_lsh_recall(spark):
+    """The fifth dedup tier: exact brute-force pairs are the ground truth;
+    the LSH-bucketed tier must emit only true pairs (exact precision) and
+    recall the planted near-identical vectors (which agree on every
+    hyperplane sign with overwhelming probability)."""
+    import numpy as np
+
+    from takco_spark.operators.dedup import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(20, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((f"v{i:02d}", [float(x) for x in v]))
+        if i < 5:  # planted near-dups: tiny perturbation of the first five
+            rows.append(
+                (f"v{i:02d}_dup",
+                 [float(x) for x in v + rng.normal(scale=1e-3, size=16)])
+            )
+    emb = spark.createDataFrame(rows, "doc_id string, emb array<double>")
+
+    exact = {(r["id_1"], r["id_2"]) for r in
+             embedding_neardup_pairs(emb, threshold=0.99).collect()}
+    assert len(exact) == 5  # exactly the planted pairs
+    lsh = {(r["id_1"], r["id_2"]) for r in
+           embedding_neardup_lsh(emb, threshold=0.99, n_bits=4,
+                                 dim=16).collect()}
+    assert lsh <= exact          # exact precision (true cosine filter)
+    assert len(lsh) == 5         # full recall on the planted pairs
