@@ -10,8 +10,10 @@ Default mode:
      ($SPARK_GRAFT_BENCH_DOCS, default 960k — sized so compute dominates
      the ~25 s fixed per-run cost) at TWO parallelism levels (local[N] and
      local[4N], fresh JVM per run, INTERLEAVED A/B/A/B, min of
-     $SPARK_GRAFT_BENCH_REPS runs — the sandbox has 2-6× noisy-neighbor
-     variance, so the minimum wall is the cleanest capability estimator),
+     $SPARK_GRAFT_BENCH_REPS runs, default 4 — the sandbox has 2-6×
+     noisy-neighbor variance, so the minimum wall is the cleanest capability
+     estimator and more reps sharpen it; the wall budget degrades rep count
+     before overshooting),
      computes docs/sec and the N→4N scaling efficiency, and writes
      BENCH/BASELINE.md;
   3. runs a NO-SPARK hardware-ceiling control: the pipeline's hottest kernel
@@ -59,7 +61,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # needs compute ≥ ~11×F) showed 480k cannot demonstrate 0.8 even on a quiet
 # machine — at 960k the compute term dominates honestly.
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "960000"))
-BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
 
 
@@ -350,10 +352,12 @@ def _scaling() -> dict:
     level always runs; later reps are skipped (and logged in the output) if
     the budget is spent — the harness degrades to fewer reps, never to a
     missing result."""
-    # 3000 s: a rep pair at 960k costs ~900-1000 s on a quiet machine, and
-    # the minimum-wall estimator needs ≥ 2 clean reps to shake the 2-6×
-    # noise; the estimate-based skip below keeps the real spend bounded.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "3000"))
+    # 3600 s: a rep pair at 960k costs ~900-1000 s on a quiet machine; the
+    # minimum-wall estimator needs 3 clean reps to shake the 2-6× noise
+    # (measured r3: the 3000 s budget cut rep 3 right at the line with c1
+    # minima still 15% apart), and the estimate-based skip below keeps the
+    # real spend bounded.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "3600"))
     t0 = time.time()
     levels = [SCALE_N, SCALE_N * 4]
     walls: dict[int, list[float]] = {c: [] for c in levels}

@@ -379,9 +379,13 @@ def block_documents(
             "doc_id",
         )
     )
-    # downstream consumes blocks twice (pair self-join) — cache the capped
-    # stream so the blocker UDFs never re-run
-    return out.persist(), stats
+    # NOT persisted: the pipeline consumes blocks ONCE (candidate_pairs is a
+    # single groupBy scan, not a self-join), and `raw` above is already
+    # cached — the cap joins on top are two broadcasts. A second 37M-row
+    # materialization here measured as pure overhead at bench scale; callers
+    # that scan blocks repeatedly (tests, stats) recompute only the cheap
+    # cap joins from the cached union.
+    return out, stats
 
 
 def candidate_pairs(blocks: DataFrame) -> DataFrame:
