@@ -87,12 +87,13 @@ def get_spark(
     # In local mode every "executor" thread lives in the driver JVM — the 1g
     # default heap causes GC collapse at high parallelism. Only effective for
     # the process's FIRST JVM (bench runs each parallelism level in a fresh
-    # process for exactly this reason). 48g (measured): at 960k bench docs a
-    # 24g heap makes the shuffle-heavy stages spill/GC superlinearly at
-    # local[4] (blocking 177→111 s, pair self-join 175→81 s with ample
-    # heap); a real cluster sizes executor memory to the workload, and flat
-    # memory across parallelism levels is CONSERVATIVE for the N→4N
-    # comparison (4N executors would have 4× the aggregate memory).
+    # process for exactly this reason). 48g default (measured): at 960k
+    # bench docs a 24g heap makes the shuffle-heavy stages spill/GC
+    # superlinearly at local[4] (blocking 177→111 s, pair self-join
+    # 175→81 s with ample heap). The scaling bench overrides this per
+    # child to 12 GB × cores (bench._scale_memory_per_core) — per-core
+    # memory held constant across parallelism levels, the way a real
+    # cluster's per-executor memory is.
     confs["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     if shuffle_partitions is None and master.startswith("local["):
         inner = master[len("local[") : -1]
