@@ -69,10 +69,18 @@ def get_spark(
 
     ``shuffle_partitions`` defaults to 2× the local core count — on a real
     cluster you would size this to total executor cores × 2-3 instead.
+
+    ``master=""`` (empty string) skips the ``.master()`` call entirely —
+    the mode for ``spark-submit`` jobs, where the cluster manager supplies
+    ``spark.master`` and the driver script must not override it
+    (scripts/run_linkage.py passes this).
     """
     _ensure_package_on_worker_path()
-    master = master or _default_master()
-    builder = SparkSession.builder.appName(app_name).master(master)
+    if master is None:
+        master = _default_master()
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
     confs = dict(DEFAULT_CONFS)
     # Shuffle/spill files on the fastest local storage available. This host's
     # /tmp sits on a CONTENDED virtual disk (noisy neighbors); /dev/shm is a
@@ -94,7 +102,13 @@ def get_spark(
     # child to 12 GB × cores (bench._scale_memory_per_core) — per-core
     # memory held constant across parallelism levels, the way a real
     # cluster's per-executor memory is.
-    confs["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    if master.startswith("local"):
+        # local-mode-only: under spark-submit the driver/executor memory is
+        # the submitter's call (--driver-memory/--executor-memory), and
+        # setting spark.driver.memory after JVM start is a no-op anyway
+        confs["spark.driver.memory"] = os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "48g"
+        )
     if shuffle_partitions is None and master.startswith("local["):
         inner = master[len("local[") : -1]
         try:

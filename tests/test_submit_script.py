@@ -1,0 +1,85 @@
+"""The spark-submit job script (scripts/run_linkage.py) end-to-end.
+
+North-rule packaging contract: the pipeline runs as a submitted job —
+``spark-submit --py-files takco_spark.zip scripts/run_linkage.py …`` — with
+the full config surface as flags. The test drives the script's own
+``main()`` (same code path as a submit; ``--master ''`` defers the master,
+so it attaches to the active test session exactly as a submitted driver
+attaches to the cluster manager's).
+"""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from takco_spark.datagen import synth_documents
+
+_SCRIPT = Path(__file__).resolve().parents[1] / "scripts" / "run_linkage.py"
+
+
+def _load_script():
+    spec = importlib.util.spec_from_file_location("run_linkage", _SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["run_linkage"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_config_flags_round_trip():
+    mod = _load_script()
+    args = mod.build_parser().parse_args([
+        "--input", "in.parquet", "--output", "out.parquet",
+        "--blockers", "token", "--agg-threshold", "0.7", "--aligned",
+        "--align-mode", "max1", "--refine-threshold", "0.8",
+        "--max-block-size", "99", "--run-id", "r7",
+    ])
+    cfg = mod.config_from_args(args)
+    assert cfg.blockers == ("token",)
+    assert cfg.agg_threshold == 0.7
+    assert cfg.aligned and cfg.align_mode == "max1"
+    assert cfg.refine_threshold == 0.8
+    assert cfg.max_block_size == 99
+    assert cfg.run_id == "r7"
+
+
+def test_submit_job_end_to_end(spark, tmp_path):
+    mod = _load_script()
+    docs = synth_documents(spark, 120, seed=42, partitions=4)
+    inp, outp = str(tmp_path / "docs.parquet"), str(tmp_path / "labelled.parquet")
+    docs.write.parquet(inp)
+
+    rc = mod.main([
+        "--input", inp, "--output", outp, "--master", "",
+        "--checkpoint-dir", str(tmp_path / "ckpt"), "--run-id", "t1",
+    ])
+    assert rc == 0
+
+    labelled = spark.read.parquet(outp)
+    gold = docs.select("doc_id", "true_entity")
+    # every input doc labelled exactly once; extra columns pass through
+    assert labelled.count() == 120
+    assert {"doc_id", "spans", "true_entity", "cluster_id"} <= set(labelled.columns)
+    # span sequences byte-identical to input (the per-row invariant)
+    joined = labelled.alias("l").join(docs.alias("d"), "doc_id")
+    assert joined.where(F.expr("l.spans <> d.spans")).count() == 0
+    # linkage quality on the synthetic gold: pairwise precision/recall of
+    # same-cluster vs same-entity over duplicated docs must be high
+    pred = labelled.select("doc_id", "cluster_id").join(gold, "doc_id")
+    a = pred.selectExpr("doc_id id1", "cluster_id c1", "true_entity e1")
+    b = pred.selectExpr("doc_id id2", "cluster_id c2", "true_entity e2")
+    pairs = a.crossJoin(b).where("id1 < id2")
+    stats = pairs.agg(
+        F.sum((F.col("c1") == F.col("c2")).cast("long")).alias("pred"),
+        F.sum((F.col("e1") == F.col("e2")).cast("long")).alias("gold"),
+        F.sum(((F.col("c1") == F.col("c2")) & (F.col("e1") == F.col("e2")))
+              .cast("long")).alias("both"),
+    ).collect()[0]
+    precision = stats["both"] / max(stats["pred"], 1)
+    recall = stats["both"] / max(stats["gold"], 1)
+    assert precision >= 0.99 and recall >= 0.9, (precision, recall)
+
+    # the checkpointed stages exist → a re-run is resumable
+    ckpt = tmp_path / "ckpt"
+    assert any("blocks" in p.name for p in ckpt.rglob("*") if p.is_dir())
