@@ -57,7 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "table name with --format iceberg")
     p.add_argument("--format", choices=("parquet", "iceberg"),
                    default="parquet",
-                   help="input/output/checkpoint storage format")
+                   help="input/output storage format (stage checkpoints use "
+                        "Iceberg only when the takco catalog is configured — "
+                        "see CheckpointManager)")
     p.add_argument("--master", default="",
                    help="Spark master for LOCAL runs; leave unset under "
                         "spark-submit so the cluster manager's spark.master "

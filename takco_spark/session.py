@@ -29,10 +29,6 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # Sane parquet scan granularity for wide scans.
     "spark.sql.files.maxPartitionBytes": "134217728",
-    # Don't let tiny local runs inherit the 200-partition default blindly;
-    # overridden per-session below.
-    "spark.sql.shuffle.partitions": "64",
-    "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     # Permissive (non-ANSI) SQL semantics: bad casts → null, not job-killing
     # exceptions — the right behavior for dirty web-scale text input (Spark 4
@@ -82,16 +78,24 @@ def get_spark(
     if master:
         builder = builder.master(master)
     confs = dict(DEFAULT_CONFS)
-    # Shuffle/spill files on the fastest local storage available. This host's
-    # /tmp sits on a CONTENDED virtual disk (noisy neighbors); /dev/shm is a
-    # large empty tmpfs. On a real cluster spark.local.dir points at the
-    # executors' local SSDs — same knob, same reasoning.
-    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
-    if local_dir:
-        os.makedirs(local_dir, exist_ok=True)
-        confs["spark.local.dir"] = local_dir
+    if master.startswith("local"):
+        # local-mode-only conveniences — under spark-submit these are the
+        # submitter's/cluster's call and must not be clobbered from code:
+        # a programmatic builder.config outranks spark-submit --conf, so
+        # setting them unconditionally would silently override the operator.
+        confs["spark.ui.enabled"] = "false"
+        # Shuffle/spill files on the fastest local storage available. This
+        # host's /tmp sits on a CONTENDED virtual disk (noisy neighbors);
+        # /dev/shm is a large empty tmpfs. On a real cluster
+        # spark.local.dir / SPARK_LOCAL_DIRS point at the executors' local
+        # SSDs and are set by the deployment, never by driver code (a
+        # tmpfs default there would spill shuffle data into executor RAM).
+        local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+        if local_dir is None and os.path.isdir("/dev/shm"):
+            local_dir = "/dev/shm/spark-local"
+        if local_dir:
+            os.makedirs(local_dir, exist_ok=True)
+            confs["spark.local.dir"] = local_dir
     # In local mode every "executor" thread lives in the driver JVM — the 1g
     # default heap causes GC collapse at high parallelism. Only effective for
     # the process's FIRST JVM (bench runs each parallelism level in a fresh

@@ -9,9 +9,12 @@ logged block statistics (/root/reference/takco/cluster/cluster.py:385-390).
 Spark-native version: each stage is written as an Iceberg table when an
 Iceberg catalog is configured, else as a parquet directory (the sandbox path).
 Alongside the data we record one lineage row per (run, stage, partition):
-``(run_id, stage, partition_id, rows, wall_ms, skipped, extra)`` appended to
-``<base>/_lineage.jsonl``. On re-run, a stage whose `_SUCCESS` marker exists is
-read back instead of recomputed — mid-pipeline resume.
+``(run_id, stage, partition_id, rows, wall_ms, skipped, extra)`` appended as
+immutable jsonl parts under ``<base>/_lineage/``. On re-run, a stage whose
+`_SUCCESS` marker exists is read back instead of recomputed — mid-pipeline
+resume. All path operations go through the Hadoop FileSystem API, so the
+checkpoint base may be a DFS URI (``s3a://``, ``hdfs://``) as well as a
+driver-local directory.
 """
 
 from __future__ import annotations
@@ -23,6 +26,58 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class _HadoopPaths:
+    """Filesystem operations routed through the Hadoop FileSystem API, so a
+    checkpoint base of ``s3a://`` / ``hdfs://`` / ``file:`` behaves the same
+    as a driver-local directory (os.path-based checks silently never resume
+    on DFS URIs — exists() is always False and makedirs creates a bogus
+    local ``./s3a:/...`` tree)."""
+
+    def __init__(self, spark: SparkSession):
+        self._jvm = spark.sparkContext._jvm  # type: ignore[union-attr]
+        self._conf = spark.sparkContext._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self, p: str):
+        return self._path(p).getFileSystem(self._conf)
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs(p).exists(self._path(p)))
+
+    def mkdirs(self, p: str) -> None:
+        self._fs(p).mkdirs(self._path(p))
+
+    def touch(self, p: str) -> None:
+        self._fs(p).create(self._path(p), True).close()
+
+    def write_text(self, p: str, data: str) -> None:
+        out = self._fs(p).create(self._path(p), True)
+        try:
+            out.write(bytearray(data, "utf-8"))
+        finally:
+            out.close()
+
+    def list_files(self, dir_path: str) -> list[str]:
+        fs = self._fs(dir_path)
+        d = self._path(dir_path)
+        if not fs.exists(d):
+            return []
+        return [str(st.getPath().toString()) for st in fs.listStatus(d)
+                if st.isFile()]
+
+    def read_text(self, p: str) -> str:
+        fs = self._fs(p)
+        stream = fs.open(self._path(p))
+        try:
+            ioutils = self._jvm.org.apache.commons.io.IOUtils
+            charset = self._jvm.java.nio.charset.StandardCharsets.UTF_8
+            return str(ioutils.toString(stream, charset))
+        finally:
+            stream.close()
 
 
 def _iceberg_available(spark: SparkSession) -> bool:
@@ -44,35 +99,47 @@ class CheckpointManager:
         same checkpoint_dir recomputes instead of silently serving stale
         artifacts from the previous configuration."""
         self.spark = spark
-        self.base_dir = base_dir
+        self.base_dir = base_dir.rstrip("/")
         self.run_id = run_id
         self.config_token = config_token
-        os.makedirs(base_dir, exist_ok=True)
+        self._hfs = _HadoopPaths(spark)
+        self._hfs.mkdirs(self.base_dir)
         self.use_iceberg = _iceberg_available(spark) and bool(
             spark.conf.get("spark.sql.catalog.takco", None)
         )
-        self._lineage_path = os.path.join(base_dir, "_lineage.jsonl")
+        # One immutable object per append under _lineage/ (S3 has no append;
+        # a directory of small jsonl parts is the DFS-portable equivalent of
+        # the old single _lineage.jsonl).
+        self._lineage_dir = f"{self.base_dir}/_lineage"
+        self._lineage_seq = 0
 
     # -- paths --------------------------------------------------------------
     def stage_path(self, name: str) -> str:
         dirname = f"{name}-{self.config_token}" if self.config_token else name
-        return os.path.join(self.base_dir, dirname)
+        return f"{self.base_dir}/{dirname}"
 
     def exists(self, name: str) -> bool:
-        p = self.stage_path(name)
-        return os.path.exists(os.path.join(p, "_SUCCESS"))
+        return self._hfs.exists(f"{self.stage_path(name)}/_SUCCESS")
 
     # -- lineage ------------------------------------------------------------
     def _append_lineage(self, rows: list[dict]) -> None:
-        with open(self._lineage_path, "a", encoding="utf-8") as f:
-            for r in rows:
-                f.write(json.dumps(r, sort_keys=True) + "\n")
+        self._lineage_seq += 1
+        part = (f"{self._lineage_dir}/{self.run_id}-{os.getpid()}"
+                f"-{self._lineage_seq:06d}.jsonl")
+        self._hfs.mkdirs(self._lineage_dir)
+        self._hfs.write_text(
+            part, "".join(json.dumps(r, sort_keys=True) + "\n" for r in rows)
+        )
 
     def lineage(self) -> list[dict]:
-        if not os.path.exists(self._lineage_path):
-            return []
-        with open(self._lineage_path, encoding="utf-8") as f:
-            return [json.loads(line) for line in f if line.strip()]
+        out: list[dict] = []
+        for p in sorted(self._hfs.list_files(self._lineage_dir)):
+            if not p.endswith(".jsonl"):
+                continue
+            out.extend(json.loads(line)
+                       for line in self._hfs.read_text(p).splitlines()
+                       if line.strip())
+        return out
 
     def _partition_metrics(self, name: str, wall_ms: int, skipped: bool,
                            extra: dict | None) -> None:
@@ -155,8 +222,8 @@ class CheckpointManager:
             )
             df.writeTo(self._table_ident(name)).createOrReplace()
             # the _SUCCESS convention still drives exists(): mirror a marker
-            os.makedirs(self.stage_path(name), exist_ok=True)
-            open(os.path.join(self.stage_path(name), "_SUCCESS"), "w").close()
+            self._hfs.mkdirs(self.stage_path(name))
+            self._hfs.touch(f"{self.stage_path(name)}/_SUCCESS")
         else:
             df.write.mode("overwrite").parquet(self.stage_path(name))
 
