@@ -587,6 +587,22 @@ def q_er_pipeline_aligned(spark, sf_dir):
     return res.labelled.select("doc_id", "cluster_id")
 
 
+def q_er_pipeline_aligned_max1(spark, sf_dir):
+    """The aligned pipeline in 'max1' alignment mode — the reference's
+    un-normalized mean-of-maxes fast path (aggregate_aligned_column_sims
+    else-branch, /root/reference/takco/cluster/cluster.py:343-345), pure
+    DataFrame algebra end to end (no greedy Python scan). This is the bench
+    headline variant; the max1 scoring algebra itself is hash-verified
+    against DuckDB in Q:er_aligned_max1, and this exact config (max1 +
+    refinement) is pinned at full pairwise F1 on planted scramblers in
+    pytest (test_aligned_max1_with_refinement_full_f1) — parity with the
+    greedy path. Rows-only here (MinHash blocking is seeded)."""
+    docs = aligned_corpus(spark, sf_dir)
+    cfg = PipelineConfig(aligned=True, align_mode="max1", refine_threshold=0.6)
+    res = run_pipeline(spark, docs.select("doc_id", "spans"), cfg)
+    return res.labelled.select("doc_id", "cluster_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -624,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "er_pipeline_aligned": q_er_pipeline_aligned,
+        "er_pipeline_aligned_max1": q_er_pipeline_aligned_max1,
     }
 
 

@@ -1,24 +1,33 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract + scaling evidence).
 
-Default mode:
-  1. times the headline queries at $SPARK_GRAFT_SF_DIR (default
-     /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] — steady-state
-     protocol (one untimed warmup pass, then timed with cleared data
-     caches); cold first-run walls reported alongside;
-  2. runs the ER pipeline on the deterministic synthetic corpus
-     ($SPARK_GRAFT_BENCH_DOCS, default 960k — sized so compute dominates
-     the ~25 s fixed per-run cost) at TWO parallelism levels (local[N] and
-     local[4N], fresh JVM per run, INTERLEAVED A/B/A/B, min of
-     $SPARK_GRAFT_BENCH_REPS blocks of [N, 4N, 4N] — the sandbox has
-     2-6× noisy-neighbor variance and hits the 4N level ~2× harder, so the
-     minimum-wall estimator gets twice the samples there; the wall budget
-     degrades block count before overshooting),
-     computes docs/sec and the N→4N scaling efficiency, and writes
-     BENCH/BASELINE.md;
-  3. runs a NO-SPARK hardware-ceiling control: the pipeline's hottest kernel
-     (batched MinHash) under raw multiprocessing at 1/4/16 processes;
-  4. prints ONE JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
+Budget discipline (round-4 protocol): the WHOLE run — fixture build, headline
+passes, hardware control, scaling reps — fits inside one wall budget
+($SPARK_GRAFT_BENCH_BUDGET, default 3200 s), and a parseable result JSON line
+is (re)printed after EVERY completed phase and every completed scaling block,
+so a harness-side timeout can never lose measured data: the driver parses the
+last JSON line, which always carries everything measured so far (``partial``
+flips to false only on clean completion). SIGTERM/SIGINT additionally flush a
+final line before exiting. Round 3's bench died rc=124 with all measurements
+buffered in memory; this protocol is the fix.
+
+Phase order is evidence-priority order (the north-rule criterion first):
+  1. fixture build (untimed — datagen is input, not engine);
+  2. NO-SPARK hardware-ceiling control (multiprocessing MinHash at 1/4/16);
+  3. scaling block 1: the ER pipeline at local[N] and local[4N], fresh JVM
+     per run, INTERLEAVED [N, 4N, 4N] (the 4N level is hit ~2× harder by
+     neighbor noise, so the min-wall estimator gets twice the samples there);
+  4. headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+     on local[$SPARK_GRAFT_CPUS] — steady-state protocol (one untimed warmup
+     pass, then timed with cleared data caches); cold walls alongside;
+  5. further scaling blocks (up to $SPARK_GRAFT_BENCH_REPS) while the budget
+     allows — reps degrade first, the result never does.
+
+Corpus size: $SPARK_GRAFT_BENCH_DOCS, default 600k — the fixed-cost analysis
+(F ≈ 25 s serial per run; eff ≥ 0.8 needs compute ≥ 11×F) puts 600k at
+~18×F (ideal-machine ceiling ≈ 0.86), still honestly compute-dominated,
+while a [N, 4N, 4N] block costs ~900 s instead of ~1400 s at 960k — buying
+the min-wall estimator one more block inside the driver's window.
 
 Internal modes:
   bench.py --pipeline-run CORES NDOCS   one fresh-JVM pipeline wall
@@ -31,10 +40,11 @@ Choice of the N→4N pair — measured, not assumed (see BENCH/BASELINE.md):
 this host exposes 32 vCPUs over ~16 physical SMT cores and is SHARED
 (load-avg ~6-10 from neighbors). A pure-python multiprocessing control of
 the bandwidth-bound MinHash kernel (zero Spark) scales 1→4 procs at ~0.9
-efficiency but ANTI-scales 4→16 (the machine saturates: SMT + shared memory
-bandwidth + neighbors). 4→16 therefore measures the sandbox, not the
-engine; the honest in-capacity N→4N pair is local[1]→local[4]. On a real
-multi-executor cluster N and 4N are executor counts with private bandwidth.
+efficiency on quiet windows but ANTI-scales 4→16 (the machine saturates:
+SMT + shared memory bandwidth + neighbors). 4→16 therefore measures the
+sandbox, not the engine; the honest in-capacity N→4N pair is
+local[1]→local[4]. On a real multi-executor cluster N and 4N are executor
+counts with private bandwidth.
 
 JVMs run UNPINNED (no taskset affinity): measured (BASELINE.md, r3) —
 pinning leaves the local[1] wall unchanged (the lone task thread is the
@@ -52,6 +62,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -62,13 +73,65 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 960k docs: the r2 fixed-cost analysis (F ≈ 25 s serial per run; eff ≥ 0.8
-# needs compute ≥ ~11×F) showed 480k cannot demonstrate 0.8 even on a quiet
-# machine — at 960k the compute term dominates honestly.
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "960000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "600000"))
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
+#: TOTAL wall budget for the whole bench run (fixtures + control + scaling +
+#: headline). The driver's own timeout is unknown but >= the ~2700 s round-2
+#: run it accepted; 3200 leaves headroom under a presumed 3600 cap, and the
+#: incremental emission protocol makes even a harness kill lossless.
+BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "3200"))
 
+# ---------------------------------------------------------------------------
+# incremental result emission — the driver parses the LAST JSON line
+# ---------------------------------------------------------------------------
+
+RESULT: dict = {
+    "metric": "headline_queries_total_wall",
+    "value": 0.0,
+    "unit": "sec",
+    "queries": {},
+    "queries_cold": {},
+    "sf": -1.0,
+    "er_scaling": {},
+    "partial": True,
+    "phases_completed": [],
+}
+
+_ACTIVE_CHILD: list = []  # the currently-running subprocess.Popen, if any
+
+
+def _emit(final: bool = False) -> None:
+    """Print the full result-so-far as ONE JSON line (and persist it) so a
+    timeout at any point still leaves the driver a parseable result. A
+    leading newline separates the line from Spark console-progress '\\r'
+    output sharing stdout."""
+    RESULT["partial"] = not final
+    RESULT["value"] = round(sum(RESULT["queries"].values()), 3)
+    line = json.dumps(RESULT)
+    print("\n" + line, flush=True)
+    try:
+        bench_dir = REPO / "BENCH"
+        bench_dir.mkdir(exist_ok=True)
+        (bench_dir / "result_latest.json").write_text(line)
+    except OSError:
+        pass
+
+
+def _on_term(signum, frame):  # pragma: no cover - signal path
+    RESULT["terminated_by_signal"] = signum
+    _emit(final=False)
+    for proc in _ACTIVE_CHILD:
+        try:
+            proc.kill()
+        except Exception:
+            pass
+    os._exit(0)
+
+
+# ---------------------------------------------------------------------------
+# hardware-ceiling control (no Spark)
+# ---------------------------------------------------------------------------
 
 def _mp_kernel_worker(n_docs: int, n_tok: int, seed: int) -> None:
     """One hardware-control process: the pipeline's hottest kernel (chunked
@@ -124,6 +187,10 @@ def _hw_control(n_docs: int = 1_200_000, n_tok: int = 26,
             "efficiency": effs}
 
 
+# ---------------------------------------------------------------------------
+# fixtures
+# ---------------------------------------------------------------------------
+
 def _bench_corpus_path(n_docs: int) -> str:
     tokens = int(os.environ.get("SPARK_GRAFT_BENCH_TOKENS", "24"))
     base = ("/dev/shm/takco_fixtures" if os.path.isdir("/dev/shm")
@@ -146,6 +213,24 @@ def _bench_corpus(spark, n_docs: int, partitions: int):
         ).select("doc_id", "spans").write.mode("overwrite").parquet(path)
     return spark.read.parquet(path).select("doc_id", "spans")
 
+
+def _build_fixtures() -> None:
+    """Materialize every fixture (scaling corpus + aligned corpus) in ONE
+    wide local[CPUS] session BEFORE any clock: the c1 scaling child would
+    otherwise pay a single-threaded datagen, charging input generation to
+    the engine."""
+    import __spark_entry__ as entrymod
+    from takco_spark.session import get_spark, stop_spark
+
+    spark = get_spark(app_name="bench-fixtures", master=f"local[{CPUS}]")
+    _bench_corpus(spark, BENCH_DOCS, CPUS * 4).count()
+    entrymod.aligned_corpus(spark, SF_DIR).count()
+    stop_spark()
+
+
+# ---------------------------------------------------------------------------
+# fresh-JVM pipeline runs (scaling evidence)
+# ---------------------------------------------------------------------------
 
 def _scale_memory_per_core(cores: int) -> None:
     """Hold PER-CORE executor memory constant across parallelism levels:
@@ -302,31 +387,126 @@ def _stage_run(cores: int, n_docs: int) -> None:
     spark.stop()
 
 
-def _fresh_run(cores: int, n_docs: int) -> float | None:
-    """One fresh-JVM pipeline wall; None on timeout (a 6×-noise window) so a
-    single bad window degrades to fewer reps instead of killing the bench."""
+def _fresh_run(cores: int, n_docs: int, timeout_s: float) -> float | None:
+    """One fresh-JVM pipeline wall; None on timeout (deadline hit or a
+    6×-noise window) so a single bad run degrades to fewer reps instead of
+    killing the bench."""
     env = dict(os.environ)
+    proc = subprocess.Popen(
+        [sys.executable, str(REPO / "bench.py"), "--pipeline-run",
+         str(cores), str(n_docs)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+    )
+    _ACTIVE_CHILD.append(proc)
     try:
-        out = subprocess.run(
-            [sys.executable, str(REPO / "bench.py"), "--pipeline-run",
-             str(cores), str(n_docs)],
-            capture_output=True, text=True, env=env, timeout=3600,
-        )
+        out, err = proc.communicate(timeout=max(60.0, timeout_s))
     except subprocess.TimeoutExpired:
-        print(f"# pipeline-run cores={cores} timed out (noise window); "
-              "skipping this rep", file=sys.stderr)
+        proc.kill()
+        proc.communicate()
+        print(f"# pipeline-run cores={cores} hit its {timeout_s:.0f}s "
+              "deadline; skipping this rep", file=sys.stderr)
         return None
-    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    finally:
+        _ACTIVE_CHILD.remove(proc)
+    lines = [ln for ln in out.splitlines() if ln.startswith("{")]
     if not lines:
-        raise RuntimeError(
-            f"pipeline-run cores={cores} produced no result; stderr tail:\n"
-            + "\n".join(out.stderr.splitlines()[-15:])
-        )
+        print(f"# pipeline-run cores={cores} produced no result; stderr "
+              "tail:\n" + "\n".join(err.splitlines()[-15:]), file=sys.stderr)
+        return None
     return json.loads(lines[-1])["wall_s"]
 
 
-def _time_headline_queries() -> tuple[dict[str, float], dict[str, float]]:
-    """Per-query wall seconds at SF_DIR on local[CPUS].
+class _ScalingState:
+    """Accumulates interleaved [N, 4N, 4N] blocks; recomputes the min-wall
+    efficiency after every block so each incremental emission carries the
+    best evidence so far."""
+
+    #: cold-start estimates (s) for the deadline math before any run exists,
+    #: from measured sf-linear scaling of the r3 stage runs (~735 s / 960k
+    #: at c1, ~220 s / 960k at c4) plus ~60 s of JVM+warmup overhead.
+    EST_WALL = {1: 1.25e-3, 4: 0.40e-3}  # seconds per doc
+
+    def __init__(self, levels: list[int]):
+        self.levels = levels
+        self.pattern = [levels[0], levels[1], levels[1]]
+        self.walls: dict[int, list[float]] = {c: [] for c in levels}
+        self.blocks_done = 0
+        self.blocks_skipped = 0
+        self.last_block_s = 0.0
+
+    def _est_run(self, cores: int) -> float:
+        ws = self.walls.get(cores) or []
+        per_doc = self.EST_WALL.get(cores, 1.0e-3)
+        base = min(ws) if ws else per_doc * BENCH_DOCS
+        return base + 75.0  # JVM start + fixture read + warmup overhead
+
+    def est_block(self) -> float:
+        return sum(self._est_run(c) for c in self.pattern)
+
+    def run_block(self, deadline: float, force: bool = False) -> bool:
+        """Run one [N, 4N, 4N] block. Returns False (and counts a skip) if
+        the block doesn't fit before ``deadline``; ``force`` runs at least
+        the first block regardless (one sample per level is mandatory)."""
+        now = time.time()
+        if not force and now + self.est_block() > deadline:
+            self.blocks_skipped += 1
+            return False
+        t0 = now
+        for c in self.pattern:
+            remaining = deadline - time.time()
+            if not force and remaining < self._est_run(c) * 0.9:
+                print(f"# skipping cores={c} run: {remaining:.0f}s left "
+                      f"< est {self._est_run(c):.0f}s", file=sys.stderr)
+                continue
+            w = _fresh_run(c, BENCH_DOCS, timeout_s=remaining + (
+                300.0 if force else 60.0))
+            if w is not None:
+                self.walls[c].append(w)
+        self.blocks_done += 1
+        self.last_block_s = time.time() - t0
+        return True
+
+    def summary(self) -> dict:
+        out: dict = {
+            "n_docs": BENCH_DOCS,
+            "levels": self.levels,
+            "all_walls": {str(c): [round(w, 2) for w in ws]
+                          for c, ws in self.walls.items()},
+            "blocks_done": self.blocks_done,
+            "reps_skipped_for_budget": self.blocks_skipped,
+        }
+        if all(self.walls[c] for c in self.levels):
+            best = {c: min(ws) for c, ws in self.walls.items()}
+            dps = {c: BENCH_DOCS / w for c, w in best.items()}
+            lo, hi = self.levels
+            out["wall_s"] = {str(c): round(best[c], 2) for c in self.levels}
+            out["docs_per_sec"] = {str(c): round(dps[c], 1)
+                                   for c in self.levels}
+            out["scaling_efficiency"] = round(
+                (dps[hi] / dps[lo]) / (hi // lo), 3)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# headline queries
+# ---------------------------------------------------------------------------
+
+#: er_cc (the uncapped oracle-exact variant) is intentionally absent: it
+#: disables the blocking caps to stay SQL-equivalent, which is quadratic on
+#: shared-vocabulary corpora — the capped pipeline IS the scale path.
+#: er_pipeline_aligned_max1 (not greedy) is the benched aligned variant: the
+#: reference-sanctioned algebraic fast mode (cluster.py:343-345), pinned at
+#: full scrambler F1 in pytest; greedy stays in queries() for parity tests.
+HEADLINE = [
+    "er_pipeline_spans", "er_pipeline_aligned_max1", "token_blocking",
+    "ngram_jaccard_capped", "minhash_lsh_pairs", "simhash_pairs",
+    "knn_cosine", "pricing_summary", "window_running_sum", "pfd",
+]
+
+
+def _time_headline_queries(deadline: float) -> None:
+    """Per-query wall seconds at SF_DIR on local[CPUS], filled into RESULT
+    incrementally (a deadline hit mid-phase keeps every completed timing).
 
     Steady-state protocol: every headline query runs once UNTIMED (JVM JIT +
     whole-stage-codegen compile + Python-worker imports — one-time costs a
@@ -334,95 +514,40 @@ def _time_headline_queries() -> tuple[dict[str, float], dict[str, float]]:
     each query is timed with the cache cleared between queries so each
     timing covers its full recomputation. Both passes are reported:
     ``queries`` (steady-state, the headline) and ``queries_cold``
-    (first-ever-run walls including compile).
-
-    The aligned corpus fixture is materialized BEFORE any clock — datagen is
-    input, not engine (the r2 headline charged in-query corpus generation to
-    er_pipeline_aligned).
-    """
+    (first-ever-run walls including compile). Fixtures were materialized by
+    _build_fixtures before any clock."""
     import __spark_entry__ as entrymod
-    from takco_spark.session import get_spark
+    from takco_spark.session import get_spark, stop_spark
 
     spark = get_spark(app_name="bench-queries", master=f"local[{CPUS}]")
     spark.range(10**6).count()
-    entrymod.aligned_corpus(spark, SF_DIR).count()  # build fixture untimed
-    # build the scaling-run corpus here too (32-way, ~15 s) so the fresh-JVM
-    # pipeline children just read parquet
-    _bench_corpus(spark, BENCH_DOCS, CPUS * 4).count()
-    # er_cc (the uncapped oracle-exact variant) is intentionally absent: it
-    # disables the blocking caps to stay SQL-equivalent, which is quadratic on
-    # shared-vocabulary corpora — the capped pipeline IS the scale path.
-    headline = [
-        "er_pipeline_spans", "er_pipeline_aligned", "token_blocking",
-        "ngram_jaccard_capped", "minhash_lsh_pairs", "simhash_pairs",
-        "knn_cosine", "pricing_summary", "window_running_sum", "pfd",
-    ]
     qs = entrymod.queries()
-    cold: dict[str, float] = {}
-    for name in headline:  # warmup pass (also the cold-wall record)
+    for name in HEADLINE:  # warmup pass (also the cold-wall record)
+        if time.time() > deadline:
+            print(f"# headline cold pass truncated at {name} (deadline)",
+                  file=sys.stderr)
+            break
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        cold[name] = round(time.time() - t0, 3)
-    out: dict[str, float] = {}
-    for name in headline:
+        RESULT["queries_cold"][name] = round(time.time() - t0, 3)
+    for name in HEADLINE:
+        if name not in RESULT["queries_cold"]:
+            break
+        if time.time() > deadline:
+            print(f"# headline steady pass truncated at {name} (deadline); "
+                  "cold walls stand in", file=sys.stderr)
+            RESULT["queries"][name] = RESULT["queries_cold"][name]
+            continue
         spark.catalog.clearCache()  # recompute everything; keep JIT warm
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
-    spark.stop()
-    return out, cold
+        RESULT["queries"][name] = round(time.time() - t0, 3)
+    stop_spark()
 
 
-def _scaling() -> dict:
-    """Interleaved min-of-reps with a wall budget: at least one full rep per
-    level always runs; later reps are skipped (and logged in the output) if
-    the budget is spent — the harness degrades to fewer reps, never to a
-    missing result."""
-    # 3600 s: a rep pair at 960k costs ~900-1000 s on a quiet machine; the
-    # minimum-wall estimator needs 3 clean reps to shake the 2-6× noise
-    # (measured r3: the 3000 s budget cut rep 3 right at the line with c1
-    # minima still 15% apart), and the estimate-based skip below keeps the
-    # real spend bounded.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "3600"))
-    t0 = time.time()
-    levels = [SCALE_N, SCALE_N * 4]
-    # Each interleaved block runs N once and 4N TWICE: measured rep-to-rep
-    # spread at the 4N level is ~2× the N level's (neighbor noise costs the
-    # wider config more free cores, asymmetrically deflating efficiency), so
-    # the min estimator needs more lottery tickets exactly there. A 4N run
-    # is also ~3× cheaper than an N run, so the extra ticket is cheap.
-    pattern = [levels[0], levels[1], levels[1]]
-    walls: dict[int, list[float]] = {c: [] for c in levels}
-    skipped = 0
-    rep_estimate = 0.0
-    for rep in range(BENCH_REPS):
-        # skip the block if, judged by the PREVIOUS block's duration, it
-        # would blow the budget — degrade to fewer blocks, never overshoot
-        if rep > 0 and time.time() - t0 + rep_estimate > budget:
-            skipped = BENCH_REPS - rep
-            break
-        rep_t0 = time.time()
-        for c in pattern:
-            w = _fresh_run(c, BENCH_DOCS)
-            if w is not None:
-                walls[c].append(w)
-        rep_estimate = time.time() - rep_t0
-    for c, ws in walls.items():
-        if not ws:
-            raise RuntimeError(f"no successful pipeline run at local[{c}]")
-    best = {c: min(ws) for c, ws in walls.items()}
-    dps = {c: BENCH_DOCS / w for c, w in best.items()}
-    eff = (dps[levels[1]] / dps[levels[0]]) / 4.0
-    return {
-        "n_docs": BENCH_DOCS,
-        "levels": levels,
-        "wall_s": {str(c): round(best[c], 2) for c in levels},
-        "all_walls": {str(c): [round(w, 2) for w in ws] for c, ws in walls.items()},
-        "docs_per_sec": {str(c): round(dps[c], 1) for c in levels},
-        "scaling_efficiency": round(eff, 3),
-        "reps_skipped_for_budget": skipped,
-    }
-
+# ---------------------------------------------------------------------------
+# BASELINE.md rendering
+# ---------------------------------------------------------------------------
 
 def _stage_table_md() -> str:
     """Render the per-stage scaling table from persisted ``--stage-run``
@@ -464,8 +589,13 @@ def _stage_table_md() -> str:
     return "\n".join(lines) + f"\n\nRuns: {meta}.\n"
 
 
-def _write_bench_md(scaling: dict, queries: dict[str, float], hw: dict,
-                    cold: dict[str, float] | None = None) -> None:
+def _write_bench_md() -> None:
+    scaling = RESULT.get("er_scaling") or {}
+    queries = RESULT.get("queries") or {}
+    cold = RESULT.get("queries_cold") or {}
+    hw = scaling.get("hw_control") or {}
+    if "wall_s" not in scaling or not hw:
+        return  # not enough measured yet for a coherent page
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     lo, hi = scaling["levels"]
@@ -476,9 +606,10 @@ def _write_bench_md(scaling: dict, queries: dict[str, float], hw: dict,
 Same job (full ER pipeline: blocking → scoring → connected components), same
 deterministic input ({scaling['n_docs']} synthetic interleaved documents,
 seed 42), fresh JVM per run, runs INTERLEAVED across levels in blocks of
-[N, 4N, 4N] (up to {BENCH_REPS} blocks; the sandbox shows 2-6×
-noisy-neighbor variance between identical runs and hits the wider 4N level
-~2× harder, so the min-wall estimator samples it twice per block).
+[N, 4N, 4N] ({scaling.get('blocks_done', '?')} block(s) measured, up to
+{BENCH_REPS} within the wall budget; the sandbox shows 2-6× noisy-neighbor
+variance between identical runs and hits the wider 4N level ~2× harder, so
+the min-wall estimator samples it twice per block).
 Heap scales PER CORE (12 GB × N — executor-faithful: an N→4N cluster
 comparison adds fixed-size executors, so aggregate memory scales with the
 level; the flat-heap variant is also measured, see BASELINE.md's protocol
@@ -539,25 +670,47 @@ never hardcoded):
 The CC stage is dominated by a fixed number of driver-synchronized rounds
 (expected poor per-stage speedup; it is a small share of the total). The
 headline scaling number above is whatever the shared machine allowed during
-the driver's run window (min-of-{BENCH_REPS} interleaved is the noise
-defense).
+the driver's run window (min-of-interleaved-blocks is the noise defense).
 
 ## Headline query timings ({SF_DIR}, local[{CPUS}])
 
 Steady-state protocol: one untimed warmup pass over all queries (JVM JIT +
 codegen compile + Python-worker imports — one-time costs a long-running
 cluster amortizes), then each query timed with the data cache CLEARED first
-(every timing covers its full recomputation). The aligned-corpus fixture is
-built before any clock: datagen is input, not engine. Cold (first-ever-run)
-walls are reported alongside for transparency.
+(every timing covers its full recomputation). Fixtures (aligned corpus,
+scaling corpus) are built before any clock: datagen is input, not engine.
+Cold (first-ever-run) walls are reported alongside for transparency. The
+aligned pipeline is benched in `max1` alignment mode (the reference's
+algebraic fast path, pinned at full scrambler F1 in
+test_aligned_max1_with_refinement_full_f1); the greedy mode remains under
+pytest parity.
 
 | query | steady (s) | cold (s) |
 |---|---|---|
 """ + "\n".join(
-        f"| {k} | {v} | {(cold or {}).get(k, '-')} |"
+        f"| {k} | {v} | {cold.get(k, '-')} |"
         for k, v in queries.items()
     ) + "\n"
     (bench_dir / "BASELINE.md").write_text(md)
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+def _update_scaling(state: _ScalingState, hw: dict | None) -> None:
+    s = state.summary()
+    if hw:
+        s["hw_control"] = hw
+        # machine-normalized efficiency: pipeline N→4N efficiency relative
+        # to what the no-Spark control extracted from the SAME shared
+        # machine in the same run — separates engine losses from sandbox
+        # losses.
+        ctl_eff = hw["efficiency"].get("1->4")
+        if ctl_eff and "scaling_efficiency" in s:
+            s["machine_normalized_efficiency"] = round(
+                s["scaling_efficiency"] / ctl_eff, 3)
+    RESULT["er_scaling"] = s
 
 
 def main() -> None:
@@ -567,34 +720,54 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--stage-run":
         _stage_run(int(sys.argv[2]), int(sys.argv[3]))
         return
-    queries, cold = _time_headline_queries()
-    hw = _hw_control()
-    scaling = _scaling()
-    scaling["hw_control"] = hw
-    # machine-normalized efficiency: pipeline N→4N efficiency relative to
-    # what the no-Spark control extracted from the SAME shared machine in
-    # the same run — separates engine losses from sandbox losses.
-    ctl_eff = hw["efficiency"].get("1->4")
-    if ctl_eff:
-        scaling["machine_normalized_efficiency"] = round(
-            scaling["scaling_efficiency"] / ctl_eff, 3
-        )
-    _write_bench_md(scaling, queries, hw, cold)
+
+    t0 = time.time()
+    deadline = t0 + BUDGET - 60.0  # final-emission safety margin
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
-        sf_val = float(sf)
+        RESULT["sf"] = float(sf)
     except ValueError:
-        sf_val = -1.0
-    result = {
-        "metric": "headline_queries_total_wall",
-        "value": round(sum(queries.values()), 3),
-        "unit": "sec",
-        "queries": queries,
-        "queries_cold": cold,
-        "sf": sf_val,
-        "er_scaling": scaling,
-    }
-    print(json.dumps(result))
+        RESULT["sf"] = -1.0
+
+    _build_fixtures()
+    RESULT["phases_completed"].append("fixtures")
+    _emit()
+
+    hw = _hw_control()
+    state = _ScalingState([SCALE_N, SCALE_N * 4])
+    _update_scaling(state, hw)
+    RESULT["phases_completed"].append("hw_control")
+    _emit()
+
+    # scaling block 1 — the north-rule evidence, banked before anything else
+    state.run_block(deadline, force=True)
+    _update_scaling(state, hw)
+    RESULT["phases_completed"].append("scaling_block_1")
+    _emit()
+
+    # headline queries (bounded: leave room for at least one more block when
+    # the budget plausibly allows it)
+    _time_headline_queries(deadline=deadline)
+    RESULT["phases_completed"].append("headline")
+    _write_bench_md()
+    _emit()
+
+    # further scaling blocks while the budget allows — reps degrade first
+    for b in range(1, BENCH_REPS):
+        if not state.run_block(deadline):
+            break
+        _update_scaling(state, hw)
+        RESULT["phases_completed"].append(f"scaling_block_{b + 1}")
+        _write_bench_md()
+        _emit()
+
+    _update_scaling(state, hw)
+    RESULT["total_bench_wall_s"] = round(time.time() - t0, 1)
+    _write_bench_md()
+    _emit(final=True)
 
 
 if __name__ == "__main__":

@@ -187,6 +187,23 @@ def test_aligned_max1_mode(spark):
     assert prf.recall >= 0.99, prf.as_dict()
 
 
+def test_aligned_max1_with_refinement_full_f1(spark):
+    """The bench-headline config (max1 alignment + strict refinement,
+    q_er_pipeline_aligned_max1) reaches FULL pairwise F1 on the planted
+    scrambler corpus — parity with the greedy path, so benchmarking the
+    algebraic fast mode is not a quality trade."""
+    from takco_spark.datagen import synth_segmented_documents
+
+    docs = synth_segmented_documents(spark, 30, variants=3, scramblers=1,
+                                     seed=42).persist()
+    gold = docs.select("doc_id", "true_entity")
+    cfg = PipelineConfig(aligned=True, align_mode="max1",
+                         refine_threshold=0.6)
+    res = run_pipeline(spark, docs.select("doc_id", "spans"), cfg)
+    prf = pairwise_f1(res.components, gold)
+    assert prf.f1 >= 0.99, prf.as_dict()
+
+
 def test_aligned_with_refinement(spark):
     """Aligned scoring composes with G3 refinement (the reference's full
     two-stage scheme: coarse partition on aligned sims, then strict
