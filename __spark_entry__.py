@@ -512,8 +512,10 @@ def q_er_aligned_max1(spark, sf_dir):
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
 def q_ngram_jaccard_capped(spark, sf_dir):
-    """Char-5-gram Jaccard with the frequent-shingle cap (the scale path —
-    rows-only: the cap makes it a lower-bound variant of ngram_jaccard)."""
+    """Char-5-gram Jaccard with the frequent-shingle cap (the scale path),
+    ORACLED: the max_df cap is SQL-expressible — shingles with df > 200 are
+    dropped from the intersection join while |∪| keeps full per-doc sizes
+    (lower-bound semantics, dedup.ngram_jaccard_pairs)."""
     df = dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.35, k=5, max_df=200
     )
@@ -973,6 +975,30 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings e1 ON e1.vec_id = d1
               JOIN embeddings e2 ON e2.vec_id = d2)
             WHERE emb_cos_r >= 0.2
+        """,
+        "ngram_jaccard_capped": """
+            WITH docs AS (
+              SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+              FROM documents WHERE length(regexp_replace(lower(text), '\\s+', ' ', 'g')) >= 5),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(generate_series(1, length(t) - 4),
+                                           g -> substring(t, g, 5))) AS shingle
+              FROM docs),
+            keep AS (
+              SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 200),
+            shj AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS i
+              FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_id_1, doc_id_2,
+                   round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 6) AS jaccard_r
+            FROM inter
+            JOIN sizes s1 ON s1.doc_id = doc_id_1
+            JOIN sizes s2 ON s2.doc_id = doc_id_2
+            WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.35
         """,
         "er_aligned_max1": """
             WITH toks AS (
