@@ -369,8 +369,8 @@ def embedding_neardup_lsh(
     from takco_spark.functions.similarity import cosine
     from takco_spark.operators.similarity_search import make_hyperplane_udf
 
-    if dim is None:
-        dim = len(embeddings.select(emb_col).first()[0])
+    # dim=None derives the dimensionality in-plan inside the bucket UDF —
+    # no driver-side .first() action hides in the operator.
     udf = make_hyperplane_udf(dim, n_bits, seed)
     banded = embeddings.select(
         F.col(id_col).alias("doc_id"),

@@ -59,21 +59,42 @@ def knn_brute_force(queries: DataFrame, corpus: DataFrame, k: int = 5,
     )
 
 
-def make_hyperplane_udf(dim: int, n_bits: int, seed: int):
+def make_hyperplane_udf(dim: int | None, n_bits: int, seed: int):
     """pandas UDF: embedding → LSH bucket keys (one per hash table).
 
-    Random hyperplanes are a pure function of (seed, table); sign bits pack
-    into a long per table. Batch-vectorized: one matmul per Arrow batch.
+    Random hyperplanes are a pure function of (seed, table, dim); sign bits
+    pack into a long per table. Batch-vectorized: one matmul per Arrow batch.
+
+    ``dim=None`` derives the dimensionality from the first non-null vector of
+    each executor's first batch — deterministic across executors (the planes
+    depend only on (seed, n_bits, dim), and every vector in a column shares
+    one dim), so no driver-side ``.first()`` action is needed in the plan.
     """
-    rng = np.random.RandomState(seed)
     n_tables = 4
-    planes = rng.normal(size=(n_tables, n_bits, dim)).astype(np.float64)
+    state: dict = {}
+
+    def planes_for(d: int):
+        if state.get("dim") != d:
+            rng = np.random.RandomState(seed)
+            state["planes"] = rng.normal(
+                size=(n_tables, n_bits, d)).astype(np.float64)
+            state["dim"] = d
+        return state["planes"]
+
+    if dim is not None:
+        planes_for(dim)
 
     @pandas_udf(ArrayType(LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
+        d = state.get("dim")
+        if d is None:
+            d = next((len(v) for v in vecs if v is not None), None)
+            if d is None:  # all-null batch before any dim is known
+                return pd.Series([None] * len(vecs))
+        planes = planes_for(d)
         out = [None] * len(vecs)
         mat = np.array(
-            [np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64) for v in vecs]
+            [np.zeros(d) if v is None else np.asarray(v, dtype=np.float64) for v in vecs]
         )
         weights = (1 << np.arange(n_bits, dtype=np.int64))
         for t in range(n_tables):
@@ -96,9 +117,8 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int = 5, n_bits: int = 8,
     exact re-rank. Recall < 1 by design; raise tables/lower bits to trade.
 
     ``dim``: vector dimensionality. Pass it when known (schema metadata /
-    config); None falls back to reading one corpus row (one small job)."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+    config); None derives it in-plan inside the bucket UDF (no driver
+    action)."""
     udf = make_hyperplane_udf(dim, n_bits, seed)
 
     def bucketed(df, idname):
