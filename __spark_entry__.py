@@ -509,6 +509,86 @@ def q_er_aligned_max1(spark, sf_dir):
     )
 
 
+def q_triple_flatten(spark, sf_dir):
+    """Triple flatten/emission, ORACLED (reference yield_triples,
+    /root/reference/takco/evaluate/triples.py:14-133): synthetic annotated
+    tables built deterministically from customer — 4 tables (c_custkey % 4),
+    col 0 = name, col 1 = market segment. Exercises all three triple kinds
+    and both property-object branches: t1's col 1 has predicted entities
+    (entity-object branch), t2's col 1 has a predicted class (literal +
+    datatype), t0 is a plain literal, and t3 has NO gold annotations at all
+    (gold flags NULL, the hasgold rule)."""
+    from takco_spark.operators.triples import flatten_triples
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        "c_name", "c_mktsegment",
+        F.concat(F.lit("t"), (F.col("c_custkey") % 4).cast("string")).alias("tbl"),
+    )
+    cells = c.select(
+        F.col("tbl").alias("table_id"), F.col("k").alias("row"),
+        F.lit(0).alias("col"), F.col("c_name").alias("text"),
+    ).unionByName(c.select(
+        F.col("tbl").alias("table_id"), F.col("k").alias("row"),
+        F.lit(1).alias("col"), F.col("c_mktsegment").alias("text"),
+    ))
+    ent = F.concat(F.lit("E"), F.col("k").cast("string"))
+    entities = (
+        c.where(F.col("k") % 3 != 0).select(
+            F.col("tbl").alias("table_id"), F.lit(0).alias("col"),
+            F.col("k").alias("row"), ent.alias("entity"),
+            F.lit(0.9).alias("score"), F.lit("pred").alias("source"))
+        .unionByName(c.where(F.col("k") % 2 == 0).select(
+            F.col("tbl").alias("table_id"), F.lit(0).alias("col"),
+            F.col("k").alias("row"), ent.alias("entity"),
+            F.lit(1.0).alias("score"), F.lit("gold").alias("source")))
+        .unionByName(c.where(F.col("k") % 4 == 1).select(
+            F.col("tbl").alias("table_id"), F.lit(1).alias("col"),
+            F.col("k").alias("row"),
+            F.concat(F.lit("SEG_"), F.col("c_mktsegment")).alias("entity"),
+            F.lit(0.8).alias("score"), F.lit("pred").alias("source")))
+    )
+    tbls = c.select("tbl").distinct()
+    classes = (
+        tbls.select(F.col("tbl").alias("table_id"), F.lit(0).alias("col"),
+                    F.lit("Customer").alias("cls"), F.lit(0.7).alias("score"),
+                    F.lit("pred").alias("source"))
+        .unionByName(tbls.where(F.col("tbl").isin("t0", "t2")).select(
+            F.col("tbl").alias("table_id"), F.lit(0).alias("col"),
+            F.lit("Customer").alias("cls"), F.lit(1.0).alias("score"),
+            F.lit("gold").alias("source")))
+        .unionByName(tbls.where(F.col("tbl") == "t2").select(
+            F.col("tbl").alias("table_id"), F.lit(1).alias("col"),
+            F.lit("Segment").alias("cls"), F.lit(0.6).alias("score"),
+            F.lit("pred").alias("source")))
+    )
+    properties = (
+        tbls.select(F.col("tbl").alias("table_id"),
+                    F.lit(0).alias("from_col"), F.lit(1).alias("to_col"),
+                    F.lit("inSegment").alias("prop"),
+                    F.lit(0.5).alias("score"), F.lit("pred").alias("source"))
+        .unionByName(tbls.where(F.col("tbl").isin("t0", "t1")).select(
+            F.col("tbl").alias("table_id"),
+            F.lit(0).alias("from_col"), F.lit(1).alias("to_col"),
+            F.lit("inSegment").alias("prop"),
+            F.lit(1.0).alias("score"), F.lit("gold").alias("source")))
+    )
+    out = flatten_triples(cells, entities, classes, properties)
+    # driver projection flattens nullables (NULL gold → -1, NULL datatype →
+    # '') so the order-insensitive row sort/hash never compares None with
+    # bool/str; the operator itself stays nullable-faithful.
+    return out.select(
+        "table_id", "kind", "s", "p", "o",
+        F.coalesce("o_datatype", F.lit("")).alias("o_dt"),
+        F.col("col").cast("int").alias("col_i"),
+        F.col("row").cast("long").alias("row_i"),
+        F.when(F.col("gold").isNotNull(), F.col("gold").cast("int"))
+        .otherwise(F.lit(-1)).alias("gold_i"),
+        F.col("pred").cast("int").alias("pred_i"),
+        F.round("s_score", 6).alias("s_score_r"),
+    )
+
+
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
 def q_ngram_jaccard_capped(spark, sf_dir):
@@ -634,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_curve": q_pr_curve,
         "compound_split": q_compound_split,
         "er_aligned_max1": q_er_aligned_max1,
+        "triple_flatten": q_triple_flatten,
         # rows-only (no oracle possible: seeded-hash / pipeline internals)
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -975,6 +1056,79 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings e1 ON e1.vec_id = d1
               JOIN embeddings e2 ON e2.vec_id = d2)
             WHERE emb_cos_r >= 0.2
+        """,
+        "triple_flatten": """
+            WITH c AS (
+              SELECT CAST(c_custkey AS BIGINT) AS k, c_name, c_mktsegment,
+                     't' || CAST(c_custkey % 4 AS VARCHAR) AS tbl
+              FROM customer),
+            ent AS (
+              SELECT tbl, 0 AS col, k AS rw, 'E' || CAST(k AS VARCHAR) AS entity,
+                     (k % 3 <> 0) AS is_pred, (k % 2 = 0) AS is_gold,
+                     CASE WHEN k % 3 <> 0 THEN 0.9 END AS pred_score,
+                     CASE WHEN k % 2 = 0 THEN 1.0 END AS gold_score
+              FROM c WHERE k % 3 <> 0 OR k % 2 = 0
+              UNION ALL
+              SELECT tbl, 1, k, 'SEG_' || c_mktsegment,
+                     TRUE, FALSE, 0.8, CAST(NULL AS DOUBLE)
+              FROM c WHERE k % 4 = 1),
+            cells AS (
+              SELECT tbl, k AS rw, 0 AS col, c_name AS text FROM c
+              UNION ALL SELECT tbl, k, 1, c_mktsegment FROM c),
+            lab AS (
+              SELECT e.tbl, 'label' AS kind, e.entity AS s,
+                     'http://www.w3.org/2000/01/rdf-schema#label' AS p,
+                     cl.text AS o, CAST(NULL AS VARCHAR) AS o_datatype,
+                     e.col, e.rw, e.is_gold AS g, e.is_pred AS pr,
+                     coalesce(e.pred_score, e.gold_score) AS s_score
+              FROM ent e LEFT JOIN cells cl
+                ON cl.tbl = e.tbl AND cl.rw = e.rw AND cl.col = e.col),
+            clt AS (
+              SELECT e.tbl, 'class' AS kind, e.entity AS s,
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                     'Customer' AS o, CAST(NULL AS VARCHAR) AS o_datatype,
+                     e.col, e.rw,
+                     (e.is_gold AND e.tbl IN ('t0','t2')) AS g,
+                     e.is_pred AS pr,
+                     coalesce(e.pred_score, e.gold_score) AS s_score
+              FROM ent e
+              WHERE e.col = 0
+                AND (e.is_pred OR (e.is_gold AND e.tbl IN ('t0','t2')))),
+            pbase AS (
+              SELECT e.tbl, e.rw, e.entity AS s,
+                     (e.is_gold AND e.tbl IN ('t0','t1')) AS g,
+                     e.is_pred AS pr,
+                     coalesce(e.pred_score, e.gold_score) AS s_score
+              FROM ent e
+              WHERE e.col = 0
+                AND (e.is_pred OR (e.is_gold AND e.tbl IN ('t0','t1')))),
+            pent AS (
+              SELECT b.tbl, 'property' AS kind, b.s, 'inSegment' AS p,
+                     e1.entity AS o, CAST(NULL AS VARCHAR) AS o_datatype,
+                     1 AS col, b.rw, b.g, b.pr, b.s_score
+              FROM pbase b JOIN ent e1
+                ON e1.tbl = b.tbl AND e1.col = 1 AND e1.rw = b.rw
+                AND e1.is_pred
+              WHERE b.tbl = 't1'),
+            plit AS (
+              SELECT b.tbl, 'property' AS kind, b.s, 'inSegment' AS p,
+                     cl.text AS o,
+                     CASE WHEN b.tbl = 't2' THEN 'Segment' END AS o_datatype,
+                     1 AS col, b.rw, b.g, b.pr, b.s_score
+              FROM pbase b JOIN cells cl
+                ON cl.tbl = b.tbl AND cl.rw = b.rw AND cl.col = 1
+              WHERE b.tbl <> 't1'
+                AND cl.text IS NOT NULL AND cl.text <> ''),
+            allt AS (
+              SELECT * FROM lab UNION ALL SELECT * FROM clt
+              UNION ALL SELECT * FROM pent UNION ALL SELECT * FROM plit)
+            SELECT tbl AS table_id, kind, s, p, o,
+                   coalesce(o_datatype, '') AS o_dt,
+                   CAST(col AS INT) AS col_i, CAST(rw AS BIGINT) AS row_i,
+                   CASE WHEN tbl <> 't3' THEN CAST(g AS INT) ELSE -1 END AS gold_i,
+                   CAST(pr AS INT) AS pred_i,
+                   round(s_score, 6) AS s_score_r
+            FROM allt
         """,
         "ngram_jaccard_capped": """
             WITH docs AS (
