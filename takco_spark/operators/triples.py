@@ -254,3 +254,16 @@ def triples_to_novelty_inputs(triples: DataFrame
     gold = keyed.where(F.col("gold")).select("item_id").distinct()
     pred = keyed.where(F.col("pred")).select("item_id").distinct()
     return kinds, gold, pred
+
+
+def shift_annotation_cols(df: DataFrame, n: int, cols: tuple[str, ...]
+                          ) -> DataFrame:
+    """Shift column-index fields right by ``n`` after context columns are
+    prepended (reference context.py:50-62: entities/classes/properties keys
+    move from ci to ci+n). ``cols`` names the integer column-index fields —
+    ('col',) for entity/class streams, ('from_col', 'to_col') for property
+    streams."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, (F.col(c) + F.lit(int(n))).cast("int"))
+    return out

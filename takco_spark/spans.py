@@ -191,3 +191,51 @@ def span_sequence_mismatches(a: DataFrame, b: DataFrame) -> int:
     return joined.where(
         ~(F.col("seq_a").eqNullSafe(F.col("seq_b")))
     ).count()
+
+
+def add_context_rows(documents: DataFrame, fields: tuple[str, ...] = ("pgTitle",),
+                     spans_col: str = "spans") -> DataFrame:
+    """EP2 step 1 — prepend page/section context to every document before
+    feature extraction (reference tables_add_context_rows,
+    /root/reference/takco/cluster/context.py:8-63: each context field becomes
+    a new leading column with header ``_<field>`` and the field's text in
+    every data row, and annotation column indices shift right by
+    ``len(fields)``).
+
+    Span-model translation: each field contributes a leading ``header`` span
+    (text ``_<field>`` — the underscore prefix that ``functions.text.tokenize``
+    keeps whole, and that ``\\W+`` tokenization preserves since ``_`` is a
+    word char) followed by a ``cell`` span holding the document's value of
+    that field; existing spans shift by 2 per field (LinkedString.__add__
+    offset semantics). The document must carry one column per entry in
+    ``fields``; fields are prepended in reverse, so ``fields[0]`` ends up
+    first — exactly the reference's ``list(fields)[::-1]`` loop.
+
+    Under ``doc_segment_features`` the prepended header starts a fresh
+    leading segment, so aligned (column-wise) scoring sees the context as
+    its own comparable column — the reference's intent. Pure span algebra
+    (one projection, no shuffle); downstream annotation streams shift via
+    :func:`takco_spark.operators.triples.shift_annotation_cols`.
+    """
+    out = documents
+    for field in reversed(list(fields)):
+        prefix = F.array(
+            F.struct(
+                F.lit("header").alias("kind"),
+                F.lit(f"_{field}").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            ),
+            F.struct(
+                F.lit("cell").alias("kind"),
+                F.coalesce(F.col(field).cast("string"), F.lit("")).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(1).cast("int").alias("offset"),
+            ),
+        )
+        shifted = F.expr(
+            f"transform({spans_col}, s -> struct(s.kind as kind, s.text as text,"
+            f" s.media_ref as media_ref, cast(s.offset + 2 as int) as offset))"
+        )
+        out = out.withColumn(spans_col, F.concat(prefix, shifted))
+    return out
