@@ -367,3 +367,281 @@ def compound_split(cells: DataFrame, group_col: str = "col",
             F.substring(t, 1, F.length(t) - F.length(a)),
         ).otherwise(t)
     return joined.withColumn("affix", a).withColumn("stripped", stripped)
+
+
+def _lcs_blocks(a: str, b: str, min_block: int) -> list[str]:
+    """Ordered common substrings of ``a`` and ``b``, each ≥ ``min_block``
+    chars: longest-common-substring divide-and-conquer (the algorithm behind
+    the reference's ``templater`` dependency). O(|a|·|b|) DP per level —
+    cells are short strings, groups are table columns, so this is bounded.
+    """
+    if len(a) < min_block or len(b) < min_block:
+        return []
+    best_len = best_a = best_b = 0
+    prev = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        ai = a[i - 1]
+        for j in range(1, len(b) + 1):
+            if ai == b[j - 1]:
+                v = prev[j - 1] + 1
+                cur[j] = v
+                if v > best_len:
+                    best_len, best_a, best_b = v, i, j
+        prev = cur
+    if best_len < min_block:
+        return []
+    left = _lcs_blocks(a[: best_a - best_len], b[: best_b - best_len], min_block)
+    right = _lcs_blocks(a[best_a:], b[best_b:], min_block)
+    return left + [a[best_a - best_len : best_a]] + right
+
+
+def _learn_template(texts: list[str], min_block: int) -> list[str]:
+    """Fold :func:`_lcs_blocks` over a column: static blocks every cell
+    contains, in order (reference ``Templater.learn`` loop,
+    /root/reference/takco/reshape/compound.py:152-160)."""
+    if len(texts) < 2:
+        return []
+    blocks = _lcs_blocks(texts[0], texts[1], min_block)
+    for s in texts[2:]:
+        if not blocks:
+            return []
+        out: list[str] = []
+        pos = 0
+        for blk in blocks:
+            i = s.find(blk, pos)
+            if i >= 0:
+                out.append(blk)
+                pos = i + len(blk)
+            else:
+                for sub in _lcs_blocks(blk, s[pos:], min_block):
+                    j = s.find(sub, pos)
+                    if j >= 0:
+                        out.append(sub)
+                        pos = j + len(sub)
+        blocks = out
+    return blocks
+
+
+def _parse_template(blocks: list[str], s: str) -> list[str] | None:
+    """Split ``s`` on the static blocks in order → the variable gap contents
+    (len(blocks)+1 parts), or None if a block is missing (reference
+    ``Templater.parse``)."""
+    parts: list[str] = []
+    pos = 0
+    for blk in blocks:
+        i = s.find(blk, pos)
+        if i < 0:
+            return None
+        parts.append(s[pos:i])
+        pos = i + len(blk)
+    parts.append(s[pos:])
+    return parts
+
+
+def template_compound_split(
+    cells: DataFrame,
+    group_col: str = "col",
+    id_col: str = "row",
+    text_col: str = "text",
+    min_block_size: int = 2,
+    min_cell_size: int | None = None,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """F17 TemplateCompoundSplitter (reference
+    /root/reference/takco/reshape/compound.py:129-185): learn the common
+    static blocks of a column's cell texts, split every cell on them, and
+    emit one output row per (cell, variable part) whose column of parts
+    passes the reference's ``col_is_ok`` gate (some non-empty; optional
+    min/max part length over ALL cells). ``part`` is the static block
+    preceding the gap — a numeric block is re-prepended to the values and the
+    part named by its index, exactly the reference's numeric-prefix rule
+    (:168-174).
+
+    Output: (group, id, part, value) long format.
+
+    Scale: one ``applyInPandas`` per column group — a group is one table
+    column (bounded by table height), so the Arrow batch and the O(|a|·|b|)
+    template DP are bounded regardless of corpus size; corpus-level
+    parallelism is across groups. The reference runs the same per-column
+    loop single-threaded.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType, StringType
+
+    in_schema = {f.name: f for f in cells.schema.fields}
+    out_schema = StructType([
+        StructField("grp", in_schema[group_col].dataType, True),
+        StructField("id", in_schema[id_col].dataType, True),
+        StructField("part", StringType(), True),
+        StructField("value", StringType(), True),
+    ])
+
+    def split_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        texts = ["" if t is None else str(t) for t in pdf[text_col]]
+        empty = pd.DataFrame({"grp": [], "id": [], "part": [], "value": []})
+        blocks = _learn_template(texts, min_block_size)
+        if not blocks:
+            return empty
+        parsed = [_parse_template(blocks, t) for t in texts]
+        if any(p is None for p in parsed):
+            return empty
+        grp_val = pdf[group_col].iloc[0]
+        ids = list(pdf[id_col])
+        rows = []
+        for gi in range(len(blocks) + 1):
+            vals = [p[gi].strip() for p in parsed]  # type: ignore[index]
+            if not any(vals):
+                continue
+            if min_cell_size is not None and any(
+                len(v) < min_cell_size for v in vals
+            ):
+                continue
+            if max_cell_size is not None and any(
+                len(v) > max_cell_size for v in vals
+            ):
+                continue
+            part = blocks[gi - 1].strip() if gi > 0 else ""
+            if part and part.isnumeric():
+                vals = [part + v for v in vals]
+                part = str(gi)
+            elif not part:
+                part = str(gi)
+            rows.extend((grp_val, i, part, v) for i, v in zip(ids, vals))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["grp", "id", "part", "value"])
+
+    return cells.groupBy(group_col).applyInPandas(split_group, out_schema)
+
+
+def attribute_context_pivots(
+    headers: DataFrame,
+    doc_attrs: DataFrame,
+    att_col: str = "att",
+    text_col: str = "text",
+) -> DataFrame:
+    """F18 AttributeContext finder (reference
+    /root/reference/takco/reshape/findpivot.py:529-560): the *build* phase
+    collects header-cell texts that case-insensitively equal some document's
+    context attribute (e.g. its page title); *find* marks every header cell
+    whose text is in that collected value set — across ALL documents, because
+    the reference merges built finders corpus-wide (``merge``, :546-549).
+
+    ``headers``: long header grid (doc_id, row, col, text).
+    ``doc_attrs``: (doc_id, att) — one context attribute value per document.
+
+    Spark-first: build = an equi-join of the grid against its own doc
+    attribute on lower(text) == lower(att) (one shuffle, then a distinct on
+    the tiny survivor set); find = a broadcast semi-join of the grid against
+    that value set. The reference's driver-side ``set`` + two nested loops
+    become two joins; no collect.
+    """
+    att = F.lower(F.trim(F.col(att_col)))
+    values = (
+        headers.join(doc_attrs.select("doc_id", att.alias("_att")), "doc_id")
+        .where(
+            (F.length(F.col(text_col)) > 1)
+            & (F.lower(F.col(text_col)) == F.col("_att"))
+        )
+        .select(F.col(text_col).alias("_val"))
+        .distinct()
+    )
+    return headers.join(
+        F.broadcast(values), F.col(text_col) == F.col("_val"), "left_semi"
+    )
+
+
+def rule_pivots(
+    headers: DataFrame,
+    id_vars: list[str] | None = None,
+    value_vars: list[str] | None = None,
+) -> DataFrame:
+    """F18 Rule finder (reference findpivot.py:561-583): a header row where
+    every ``id_vars`` entry AND every ``value_vars`` entry appears yields as
+    pivot cells the ``value_vars`` cells — or, when ``value_vars`` is empty,
+    every cell NOT in ``id_vars``.
+
+    Input: long header grid (doc_id, row, col, text). Pure conditional
+    aggregation: per (doc_id, row), ``bool_and`` of per-var ``bool_or``
+    presence flags, then a row-level filter — the reference's per-row
+    ``all(v in hrow ...)`` loops as one groupBy + join.
+    """
+    id_vars = list(id_vars or [])
+    value_vars = list(value_vars or [])
+    if not id_vars and not value_vars:
+        return headers.limit(0)
+    presence = [
+        F.max((F.col("text") == F.lit(v)).cast("int")).alias(f"_p{i}")
+        for i, v in enumerate(id_vars + value_vars)
+    ]
+    all_present = None
+    for i in range(len(id_vars) + len(value_vars)):
+        flag = F.col(f"_p{i}") == 1
+        all_present = flag if all_present is None else (all_present & flag)
+    ok_rows = (
+        headers.groupBy("doc_id", "row").agg(*presence)
+        .where(all_present)
+        .select("doc_id", "row")
+    )
+    matched = headers.join(ok_rows, ["doc_id", "row"], "left_semi")
+    if value_vars:
+        return matched.where(F.col("text").isin(value_vars))
+    return matched.where(~F.col("text").isin(id_vars))
+
+
+def agent_like_pivots(
+    header_links: DataFrame,
+    kb_classes: DataFrame,
+    entity_facts: DataFrame,
+    id_types: list[str] | None = None,
+    id_props: list[str] | None = None,
+) -> DataFrame:
+    """F18 AgentLikeHyperlink finder (reference findpivot.py:451-528): a
+    header cell whose linked entities are all *agent-like* is a pivot cell.
+    An entity is attribute-like (NOT agent-like) when (a) it is used as a
+    class (something has it as a type), (b) it has an attribute-like type
+    (disambiguation/list/unit pages), or (c) it has an attribute-like
+    property. Cells with no links never match (the reference requires
+    ``es`` non-empty).
+
+    ``header_links``: (doc_id, row, col, entity) — one row per cell↔entity
+    link (J6/S11 lookup-join output feeds this).
+    ``kb_classes``: (entity, cls) type assertions; an entity *used as* a
+    class appears in the ``cls`` column.
+    ``entity_facts``: (s, p) subject–property pairs for rule (c).
+
+    Spark-first: the reference's three per-entity SPARQL count() probes
+    become three broadcast/semi-join flags against the (small, dimension-
+    sized) KB tables, aggregated per cell with ``every()``. No driver loop,
+    no per-entity round trips.
+    """
+    id_types = list(id_types or [])
+    id_props = list(id_props or [])
+    used_as_class = kb_classes.select(F.col("cls").alias("entity")).distinct()
+    has_id_type = (
+        kb_classes.where(F.col("cls").isin(id_types))
+        .select("entity").distinct()
+        if id_types else None
+    )
+    has_id_prop = (
+        entity_facts.where(F.col("p").isin(id_props))
+        .select(F.col("s").alias("entity")).distinct()
+        if id_props else None
+    )
+    attr_like = used_as_class
+    if has_id_type is not None:
+        attr_like = attr_like.unionByName(has_id_type)
+    if has_id_prop is not None:
+        attr_like = attr_like.unionByName(has_id_prop)
+    attr_like = attr_like.distinct().withColumn("_is_attr", F.lit(True))
+    flagged = header_links.join(F.broadcast(attr_like), "entity", "left")
+    return (
+        flagged.groupBy("doc_id", "row", "col")
+        .agg(
+            F.every(F.col("_is_attr").isNull()).alias("_all_agent"),
+            F.count("*").alias("_n_links"),
+        )
+        .where(F.col("_all_agent") & (F.col("_n_links") > 0))
+        .select("doc_id", "row", "col")
+    )

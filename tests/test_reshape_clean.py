@@ -166,3 +166,108 @@ def test_spanned_repeat_pivots(spark):
     # runs in row 1 inside each span -> all four year cells are pivots
     assert out2 == {(0, 0, "2004"), (0, 1, "2004"), (0, 2, "2005"),
                     (0, 3, "2005")}
+
+
+def _headers_df(spark, rows):
+    """rows: (doc_id, row, col, text)"""
+    return spark.createDataFrame(rows, "doc_id string, row int, col int, text string")
+
+
+def test_attribute_context_pivots(spark):
+    from takco_spark.operators.reshape import attribute_context_pivots
+
+    headers = _headers_df(spark, [
+        ("d1", 0, 0, "Country"), ("d1", 0, 1, "Albums"),
+        ("d2", 0, 0, "Albums"), ("d2", 0, 1, "Year"),
+        ("d3", 0, 0, "Year"), ("d3", 0, 1, "Sales"),
+    ])
+    # d1's page attribute equals its own header cell "Albums" -> build
+    # collects "Albums"; find then flags the cell in d2 as well.
+    attrs = spark.createDataFrame(
+        [("d1", "albums"), ("d2", "unrelated"), ("d3", "x")],
+        "doc_id string, att string")
+    got = {(r.doc_id, r.row, r.col)
+           for r in attribute_context_pivots(headers, attrs).collect()}
+    assert got == {("d1", 0, 1), ("d2", 0, 0)}
+
+
+def test_rule_pivots(spark):
+    from takco_spark.operators.reshape import rule_pivots
+
+    headers = _headers_df(spark, [
+        ("d1", 0, 0, "Team"), ("d1", 0, 1, "W"), ("d1", 0, 2, "L"),
+        ("d2", 0, 0, "Team"), ("d2", 0, 1, "Points"),
+        ("d3", 0, 0, "W"), ("d3", 0, 1, "L"),
+    ])
+    # value_vars given: only rows containing Team AND W AND L yield W/L cells
+    got = {(r.doc_id, r.col)
+           for r in rule_pivots(headers, ["Team"], ["W", "L"]).collect()}
+    assert got == {("d1", 1), ("d1", 2)}
+    # no value_vars: every non-id cell of qualifying rows
+    got2 = {(r.doc_id, r.col)
+            for r in rule_pivots(headers, ["Team"], []).collect()}
+    assert got2 == {("d1", 1), ("d1", 2), ("d2", 1)}
+    assert rule_pivots(headers, [], []).count() == 0
+
+
+def test_agent_like_pivots(spark):
+    from takco_spark.operators.reshape import agent_like_pivots
+
+    links = spark.createDataFrame([
+        ("d1", 0, 0, "e:person1"),   # agent-like
+        ("d1", 0, 1, "e:listpage"),  # has id_type
+        ("d1", 0, 2, "e:klass"),     # used as class
+        ("d1", 0, 3, "e:unitish"),   # has id_prop
+        ("d1", 0, 4, "e:person1"),   # two links, one attr-like -> not all agent
+        ("d1", 0, 4, "e:klass"),
+    ], "doc_id string, row int, col int, entity string")
+    kb_classes = spark.createDataFrame([
+        ("e:person1", "e:Human"),
+        ("e:listpage", "e:ListPage"),
+        ("e:x", "e:klass"),
+    ], "entity string, cls string")
+    facts = spark.createDataFrame(
+        [("e:unitish", "p:hasUnit")], "s string, p string")
+    got = {(r.doc_id, r.row, r.col) for r in agent_like_pivots(
+        links, kb_classes, facts,
+        id_types=["e:ListPage"], id_props=["p:hasUnit"]).collect()}
+    assert got == {("d1", 0, 0)}
+
+
+def test_template_compound_split(spark):
+    from takco_spark.operators.reshape import (
+        _learn_template, _parse_template, template_compound_split,
+    )
+
+    # pure-python learner sanity
+    blocks = _learn_template(
+        ["12 kg (provisional)", "7 kg (final)", "103 kg (est)"], 2)
+    # ")" is shorter than min_block_size, so it is not a static block
+    assert blocks == [" kg ("]
+    assert _parse_template(blocks, "12 kg (provisional)") == [
+        "12", "provisional)"]
+
+    cells = spark.createDataFrame([
+        ("c0", 0, "12 kg (provisional)"),
+        ("c0", 1, "7 kg (final)"),
+        ("c0", 2, "103 kg (est)"),
+        ("c1", 0, "alpha"),          # no common template -> no output
+        ("c1", 1, "Zq"),
+    ], "col string, row int, text string")
+    out = template_compound_split(cells, min_block_size=2)
+    rows = {(r.grp, r.id, r.part, r.value) for r in out.collect()}
+    # gap 0 (before " kg (") has empty preceding block -> named "0";
+    # gap 1 (between blocks) -> part " kg (".strip() == "kg ("
+    assert ("c0", 0, "0", "12") in rows
+    assert ("c0", 1, "0", "7") in rows
+    assert ("c0", 2, "0", "103") in rows
+    assert ("c0", 0, "kg (", "provisional)") in rows
+    assert ("c0", 1, "kg (", "final)") in rows
+    assert not any(g == "c1" for (g, _, _, _) in rows)
+    # trailing all-empty gap dropped by col_is_ok
+    assert not any(v == "" for (_, _, _, v) in rows)
+
+    # min_cell_size gate drops the short-value column
+    gated = template_compound_split(cells, min_block_size=2, min_cell_size=3)
+    gvals = {(r.part, r.value) for r in gated.collect()}
+    assert all(p != "0" for p, _ in gvals)  # "12"/"7" column gated out
