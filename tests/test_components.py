@@ -1,6 +1,7 @@
 """Connected components: large-star/small-star vs a pure-python union-find."""
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from takco_spark.operators.components import (
     attach_labels,
@@ -90,3 +91,161 @@ def test_rechunk_oversized(spark):
     assert all(n <= 4 for n in sizes.values())
     assert sizes["c1"] == 2  # small cluster untouched
     assert sum(n for c, n in sizes.items() if c.startswith("c0#")) == 10
+
+
+# --- G1 parity: CC(+refine) vs reference-style Louvain -----------------------
+
+def _louvain_phase1(adj, selfw):
+    """One Louvain local-move phase (modularity, weighted). Deterministic
+    node order; returns (community assignment, any_node_moved)."""
+    nodes = sorted(adj)
+    k = {u: 2.0 * selfw[u] + sum(adj[u].values()) for u in nodes}
+    m2 = sum(k.values())
+    com = {u: u for u in nodes}
+    ctot = {u: k[u] for u in nodes}
+    if m2 <= 0:
+        return com, False
+    moved_any = False
+    improved = True
+    while improved:
+        improved = False
+        for u in nodes:
+            cu = com[u]
+            neigh = {}
+            for v, wt in adj[u].items():
+                neigh[com[v]] = neigh.get(com[v], 0.0) + wt
+            ctot[cu] -= k[u]
+            best_c = cu
+            best_gain = neigh.get(cu, 0.0) - ctot[cu] * k[u] / m2
+            for c in sorted(neigh):
+                gain = neigh[c] - ctot[c] * k[u] / m2
+                if gain > best_gain + 1e-12:
+                    best_c, best_gain = c, gain
+            com[u] = best_c
+            ctot[best_c] += k[u]
+            if best_c != cu:
+                improved = moved_any = True
+    return com, moved_any
+
+
+def _louvain(edge_sims, edge_exp=6):
+    """Reference-style Louvain (takco cluster.py:74-106: igraph
+    community_multilevel over weights sim**edge_exp), reimplemented as the
+    standard two-phase multilevel algorithm. Test-only oracle."""
+    adj, selfw = {}, {}
+    for (u, v), s in edge_sims.items():
+        wt = float(s) ** edge_exp
+        if u == v:
+            selfw[u] = selfw.get(u, 0.0) + wt
+            continue
+        adj.setdefault(u, {})
+        adj.setdefault(v, {})
+        adj[u][v] = adj[u].get(v, 0.0) + wt
+        adj[v][u] = adj[v].get(u, 0.0) + wt
+    for u in adj:
+        selfw.setdefault(u, 0.0)
+    node_map = {u: u for u in adj}
+    while True:
+        com, moved = _louvain_phase1(adj, selfw)
+        if not moved:
+            return node_map
+        node_map = {n: com[s] for n, s in node_map.items()}
+        nadj, nself = {}, {}
+        for u, nbrs in adj.items():
+            cu = com[u]
+            nself[cu] = nself.get(cu, 0.0) + selfw[u]
+            for v, wt in nbrs.items():
+                cv = com[v]
+                if cu == cv:
+                    nself[cu] = nself.get(cu, 0.0) + wt / 2.0
+                else:
+                    nadj.setdefault(cu, {})
+                    nadj[cu][cv] = nadj[cu].get(cv, 0.0) + wt
+        for c in nself:
+            nadj.setdefault(c, {})
+        adj, selfw = nadj, nself
+
+
+def test_cc_refine_matches_louvain_wikitables_regime(spark):
+    """Measured parity for the G1 substitution (VERDICT r3 task 9): on a
+    planted-partition graph at the wikitables threshold regime
+    (agg_threshold 0.98, edge_exp 6), with 8 spurious single-edge bridges
+    between dense planted clusters:
+
+    - raw CC merges ALL bridged pairs        -> F1 vs Louvain 0.840, vs planted 0.719
+    - CC + G3 refine cuts ALL bridges        -> F1 vs Louvain 0.874, vs planted 1.000
+    - Louvain itself merges 4 of 8 bridges (the classic resolution limit),
+      which is the entire residual CC+refine <-> Louvain gap.
+
+    So the substitution moves toward Louvain AND recovers the planted truth
+    exactly where Louvain does not; numbers pinned below and documented in
+    COVERAGE.md (G1)."""
+    import random
+
+    from takco_spark.operators.refine import refine_clusters
+    from takco_spark.plans.metrics import pairwise_f1
+
+    rng = random.Random(11)
+    edge_sims = {}
+    clusters = []
+    for c in range(25):
+        size = rng.randint(4, 8)
+        members = [f"n{c:02d}_{i}" for i in range(size)]
+        clusters.append(members)
+        for i in range(size):
+            for j in range(i + 1, size):
+                edge_sims[(members[i], members[j])] = 0.985 + 0.015 * rng.random()
+    # 8 single-edge bridges between otherwise-dense planted clusters, with
+    # sims just above the 0.98 threshold: CC must over-merge these
+    for c in range(0, 16, 2):
+        u = rng.choice(clusters[c])
+        v = rng.choice(clusters[c + 1])
+        edge_sims[(u, v)] = 0.980 + 0.004 * rng.random()
+
+    louvain_com = _louvain(edge_sims, edge_exp=6)
+    louvain_df = spark.createDataFrame(
+        [(n, str(c)) for n, c in louvain_com.items()],
+        "doc_id string, true_entity string")
+
+    edges = spark.createDataFrame(
+        [(u, v) for (u, v) in edge_sims], "src string, dst string")
+    cc = connected_components(edges)
+    assert cc.converged
+
+    sims_df = spark.createDataFrame(
+        [(u, v, s) for (u, v), s in edge_sims.items()],
+        "doc_id_1 string, doc_id_2 string, agg_sim double")
+    refined = refine_clusters(cc.labels, sims_df, threshold=0.98)
+
+    f1_cc = pairwise_f1(cc.labels, louvain_df).f1
+    f1_refined = pairwise_f1(
+        refined.select("doc_id", F.col("refined_id").alias("cluster_id")),
+        louvain_df).f1
+
+    planted_df = spark.createDataFrame(
+        [(n, str(ci)) for ci, ms in enumerate(clusters) for n in ms],
+        "doc_id string, true_entity string")
+    f1_cc_planted = pairwise_f1(cc.labels, planted_df).f1
+    f1_refined_planted = pairwise_f1(
+        refined.select("doc_id", F.col("refined_id").alias("cluster_id")),
+        planted_df).f1
+
+    # Louvain never SPLITS a planted cluster; its only divergence from the
+    # planted truth is resolution-limit merges of bridged pairs
+    planted = {n: str(ci) for ci, ms in enumerate(clusters) for n in ms}
+    lv_groups = {}
+    for n, c in louvain_com.items():
+        lv_groups.setdefault(c, set()).add(planted[n])
+    by_planted = {}
+    for n, c in louvain_com.items():
+        by_planted.setdefault(planted[n], set()).add(c)
+    assert all(len(cs) == 1 for cs in by_planted.values())
+    n_merged = sum(1 for g in lv_groups.values() if len(g) > 1)
+    assert 0 < n_merged < 8  # resolution limit: merges some, not all, bridges
+
+    # pinned measurements (see docstring)
+    assert f1_refined_planted == 1.0
+    assert f1_cc_planted < 0.8
+    assert f1_refined > f1_cc  # refine moves CC toward Louvain
+    assert 0.83 < f1_cc < 0.86
+    assert 0.86 < f1_refined < 0.89
