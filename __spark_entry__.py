@@ -685,6 +685,97 @@ def q_er_pipeline_aligned_max1(spark, sf_dir):
     return res.labelled.select("doc_id", "cluster_id")
 
 
+def q_tfidf_cosine(spark, sf_dir):
+    """J7: sparse TF-IDF cosine (L2-normalized, smooth idf) over adjacent-id
+    document pairs — sum-product join on shared tokens, never a dense
+    matrix (scoring.tfidf_weights/tfidf_cosine_for_pairs; reference
+    CellJaccMatcher tf-idf variant, SURVEY.md J7)."""
+    from takco_spark.functions.text import distinct_tokens
+    from takco_spark.operators.scoring import (
+        tfidf_cosine_for_pairs,
+        tfidf_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id", distinct_tokens("text", min_len=2).alias("tokens")
+    )
+    w = tfidf_weights(feats)
+    ids = docs.select(F.col("doc_id").alias("doc_id_2"))
+    pairs = docs.select(
+        F.col("doc_id").alias("doc_id_1"),
+        (F.col("doc_id") + 1).alias("doc_id_2"),
+    ).join(ids, "doc_id_2", "left_semi")
+    cos = tfidf_cosine_for_pairs(pairs, w)
+    return cos.select(
+        "doc_id_1", "doc_id_2", F.round("tfidf_cos", 6).alias("tfidf_cos")
+    )
+
+
+def q_date_tolerance(spark, sf_dir):
+    """F4-F6: date parse fallback chain + datetime/numeric tolerance sims
+    (reference link/types.py:93-185 arithmetic) over same-customer order
+    pairs; dates rendered in three formats by key to exercise the chain."""
+    from takco_spark.functions.tolerance import (
+        datetime_tolerance_sim,
+        numeric_tolerance_sim,
+        parse_datetime,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    fmt = (
+        F.when(F.col("o_orderkey") % 3 == 0,
+               F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .when(F.col("o_orderkey") % 3 == 1,
+              F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .otherwise(F.date_format("o_orderdate", "dd/MM/yyyy"))
+    )
+    d = o.select(
+        "o_orderkey", "o_custkey", "o_totalprice", fmt.alias("date_str")
+    ).withColumn("ts", parse_datetime(F.col("date_str")))
+    a = d.select(
+        F.col("o_orderkey").alias("k1"), F.col("o_custkey").alias("ck"),
+        F.col("ts").alias("ts1"), F.col("o_totalprice").alias("p1"),
+    )
+    b = d.select(
+        F.col("o_orderkey").alias("k2"), F.col("o_custkey").alias("ck"),
+        F.col("ts").alias("ts2"), F.col("o_totalprice").alias("p2"),
+    )
+    pairs = a.join(b, "ck").where(F.col("k1") < F.col("k2"))
+    dt = datetime_tolerance_sim(F.col("ts1"), F.col("ts2"))
+    ns = numeric_tolerance_sim(F.col("p1"), F.col("p2"))
+    return (
+        pairs.select(
+            "k1", "k2",
+            F.round(dt, 6).alias("dt_sim"),
+            F.round(ns, 6).alias("price_sim"),
+        )
+        .where(F.col("dt_sim") > 0.9)
+    )
+
+
+def q_context_rows(spark, sf_dir):
+    """EP2 step 1 (reference cluster/context.py:8-63): prepend a
+    ``_source`` context column to every span document, shifting existing
+    spans by 2 — verified end-to-end in long format. Spans here are built
+    hash-free (every token a 'cell') so DuckDB can replicate exactly."""
+    from takco_spark.spans import add_context_rows, explode_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = F.expr("""
+      transform(
+        filter(split(lower(cast(text as string)), '\\\\W+'), t -> t != ''),
+        (t, i) -> struct('cell' AS kind, t AS text, '' AS media_ref,
+                         cast(i as int) AS offset))
+    """)
+    d = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "source",
+        spans.alias("spans"),
+    )
+    return explode_spans(add_context_rows(d, fields=("source",)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -715,6 +806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compound_split": q_compound_split,
         "er_aligned_max1": q_er_aligned_max1,
         "triple_flatten": q_triple_flatten,
+        "tfidf_cosine": q_tfidf_cosine,
+        "date_tolerance": q_date_tolerance,
+        "context_rows": q_context_rows,
         # rows-only (no oracle possible: seeded-hash / pipeline internals)
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1184,5 +1278,89 @@ def oracle_sql() -> dict[str, str]:
             SELECT d1 AS doc_id_1, d2 AS doc_id_2,
                    round(agg_sim, 6) AS agg_sim_r
             FROM agg WHERE agg_sim >= 0.1
+        """,
+        "tfidf_cosine": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\\W+')) AS tok
+                FROM documents)
+              WHERE length(tok) >= 2),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+            dfs AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+            w AS (
+              SELECT doc_id, tok,
+                     ln((n_docs + 1.0) / (df + 1.0)) + 1.0 AS w
+              FROM toks JOIN dfs USING (tok) CROSS JOIN n),
+            nm AS (SELECT doc_id, sqrt(sum(w * w)) AS norm
+                   FROM w GROUP BY doc_id),
+            wn AS (SELECT w.doc_id, w.tok, w.w / nm.norm AS w
+                   FROM w JOIN nm ON w.doc_id = nm.doc_id),
+            pairs AS (
+              SELECT a.doc_id AS doc_id_1, a.doc_id + 1 AS doc_id_2
+              FROM documents a
+              WHERE EXISTS (SELECT 1 FROM documents b
+                            WHERE b.doc_id = a.doc_id + 1))
+            SELECT p.doc_id_1, p.doc_id_2,
+                   round(sum(w1.w * w2.w), 6) AS tfidf_cos
+            FROM pairs p
+            JOIN wn w1 ON w1.doc_id = p.doc_id_1
+            JOIN wn w2 ON w2.doc_id = p.doc_id_2 AND w2.tok = w1.tok
+            GROUP BY p.doc_id_1, p.doc_id_2
+        """,
+        "date_tolerance": """
+            WITH d AS (
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                CASE CAST(o_orderkey % 3 AS INT)
+                  WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                  WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                  ELSE strftime(o_orderdate, '%d/%m/%Y') END AS date_str
+              FROM orders),
+            p AS (
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                COALESCE(
+                  TRY_CAST(date_str AS TIMESTAMP),
+                  try_strptime(date_str, '%Y-%m-%d'),
+                  try_strptime(date_str, '%d/%m/%Y'),
+                  try_strptime(regexp_extract(date_str, '^(\\d{4})', 1), '%Y')
+                ) AS ts
+              FROM d),
+            sims AS (
+              SELECT a.o_orderkey AS k1, b.o_orderkey AS k2,
+                GREATEST(0.0, 1.0 - ABS(epoch(a.ts) - epoch(b.ts))
+                                    / (365.0 * 24 * 3600)) AS dt,
+                CASE WHEN GREATEST(ABS(a.o_totalprice), ABS(b.o_totalprice)) > 0
+                     THEN 1.0 - ABS(a.o_totalprice - b.o_totalprice)
+                          / GREATEST(ABS(a.o_totalprice), ABS(b.o_totalprice))
+                     ELSE 1.0 END AS ps
+              FROM p a JOIN p b
+                ON a.o_custkey = b.o_custkey
+               AND a.o_orderkey < b.o_orderkey)
+            SELECT k1, k2, round(dt, 6) AS dt_sim, round(ps, 6) AS price_sim
+            FROM sims WHERE round(dt, 6) > 0.9
+        """,
+        "context_rows": """
+            WITH base AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     COALESCE(CAST(source AS VARCHAR), '') AS src,
+                     list_filter(
+                       regexp_split_to_array(lower(CAST(text AS VARCHAR)),
+                                             '\\W+'),
+                       t -> t <> '') AS toks
+              FROM documents),
+            prefix AS (
+              SELECT doc_id, 'header' AS kind, '_source' AS text,
+                     '' AS media_ref, 0 AS off FROM base
+              UNION ALL
+              SELECT doc_id, 'cell', src, '', 1 FROM base),
+            cells AS (
+              SELECT doc_id, 'cell' AS kind, u.t AS text, '' AS media_ref,
+                     u.i + 1 AS off
+              FROM base,
+                   unnest(list_transform(generate_series(1, len(toks)),
+                          i -> {'t': toks[i], 'i': i})) AS _(u))
+            SELECT doc_id, kind, text, media_ref,
+                   CAST(off AS INT) AS "offset"
+            FROM (SELECT * FROM prefix UNION ALL SELECT * FROM cells)
         """,
     }
