@@ -387,11 +387,28 @@ def _stage_run(cores: int, n_docs: int) -> None:
     spark.stop()
 
 
-def _fresh_run(cores: int, n_docs: int, timeout_s: float) -> float | None:
-    """One fresh-JVM pipeline wall; None on timeout (deadline hit or a
-    6×-noise window) so a single bad run degrades to fewer reps instead of
-    killing the bench."""
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from the aggregate /proc/stat line — the
+    host-level noisy-neighbor signal (this sandbox is a VM; contention
+    arrives as CPU steal, not guest load)."""
+    try:
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:]))
+    except OSError:  # pragma: no cover - non-Linux
+        return 0, 1
+    steal = v[7] if len(v) > 7 else 0
+    return steal, sum(v)
+
+
+def _fresh_run(cores: int, n_docs: int,
+               timeout_s: float) -> tuple[float, dict] | None:
+    """One fresh-JVM pipeline wall plus contemporaneous machine-noise
+    metadata (host CPU-steal share and guest load during THIS leg, not a
+    separate control window); None on timeout (deadline hit or a 6×-noise
+    window) so a single bad run degrades to fewer reps instead of killing
+    the bench."""
     env = dict(os.environ)
+    steal0, total0 = _cpu_ticks()
     proc = subprocess.Popen(
         [sys.executable, str(REPO / "bench.py"), "--pipeline-run",
          str(cores), str(n_docs)],
@@ -408,12 +425,18 @@ def _fresh_run(cores: int, n_docs: int, timeout_s: float) -> float | None:
         return None
     finally:
         _ACTIVE_CHILD.remove(proc)
+    steal1, total1 = _cpu_ticks()
     lines = [ln for ln in out.splitlines() if ln.startswith("{")]
     if not lines:
         print(f"# pipeline-run cores={cores} produced no result; stderr "
               "tail:\n" + "\n".join(err.splitlines()[-15:]), file=sys.stderr)
         return None
-    return json.loads(lines[-1])["wall_s"]
+    meta = {
+        "steal_pct": round(100.0 * (steal1 - steal0)
+                           / max(total1 - total0, 1), 2),
+        "load1": round(os.getloadavg()[0], 2),
+    }
+    return json.loads(lines[-1])["wall_s"], meta
 
 
 class _ScalingState:
@@ -422,14 +445,16 @@ class _ScalingState:
     best evidence so far."""
 
     #: cold-start estimates (s) for the deadline math before any run exists,
-    #: from measured sf-linear scaling of the r3 stage runs (~735 s / 960k
-    #: at c1, ~220 s / 960k at c4) plus ~60 s of JVM+warmup overhead.
-    EST_WALL = {1: 1.25e-3, 4: 0.40e-3}  # seconds per doc
+    #: from measured quiet-window 600k walls (r4: ~465 s at c1, ~136 s at
+    #: c4 after the AQE parallelism-floor fix) plus ~15% noise margin;
+    #: once a level has a real wall the estimate uses it instead.
+    EST_WALL = {1: 0.90e-3, 4: 0.30e-3}  # seconds per doc
 
     def __init__(self, levels: list[int]):
         self.levels = levels
         self.pattern = [levels[0], levels[1], levels[1]]
         self.walls: dict[int, list[float]] = {c: [] for c in levels}
+        self.meta: dict[int, list[dict]] = {c: [] for c in levels}
         self.blocks_done = 0
         self.blocks_skipped = 0
         self.last_block_s = 0.0
@@ -458,13 +483,32 @@ class _ScalingState:
                 print(f"# skipping cores={c} run: {remaining:.0f}s left "
                       f"< est {self._est_run(c):.0f}s", file=sys.stderr)
                 continue
-            w = _fresh_run(c, BENCH_DOCS, timeout_s=remaining + (
+            r = _fresh_run(c, BENCH_DOCS, timeout_s=remaining + (
                 300.0 if force else 60.0))
-            if w is not None:
-                self.walls[c].append(w)
+            if r is not None:
+                self.walls[c].append(r[0])
+                self.meta[c].append(r[1])
         self.blocks_done += 1
         self.last_block_s = time.time() - t0
         return True
+
+    def fill_high(self, deadline: float, max_extra: int = 4) -> int:
+        """Spend leftover budget on extra 4N legs. The 1N wall is stable
+        across windows (a 1-core job barely contends with neighbors) while
+        the 4N leg absorbs most of the noisy-neighbor variance — so extra
+        4N samples are where additional budget buys min-estimator accuracy."""
+        hi = self.levels[1]
+        done = 0
+        while done < max_extra:
+            remaining = deadline - time.time()
+            if remaining < self._est_run(hi):
+                break
+            r = _fresh_run(hi, BENCH_DOCS, timeout_s=remaining + 60.0)
+            if r is not None:
+                self.walls[hi].append(r[0])
+                self.meta[hi].append(r[1])
+            done += 1
+        return done
 
     def summary(self) -> dict:
         out: dict = {
@@ -472,6 +516,7 @@ class _ScalingState:
             "levels": self.levels,
             "all_walls": {str(c): [round(w, 2) for w in ws]
                           for c, ws in self.walls.items()},
+            "leg_meta": {str(c): ms for c, ms in self.meta.items()},
             "blocks_done": self.blocks_done,
             "reps_skipped_for_budget": self.blocks_skipped,
         }
@@ -480,6 +525,10 @@ class _ScalingState:
             dps = {c: BENCH_DOCS / w for c, w in best.items()}
             lo, hi = self.levels
             out["wall_s"] = {str(c): round(best[c], 2) for c in self.levels}
+            out["min_leg_noise"] = {
+                str(c): self.meta[c][self.walls[c].index(min(ws))]
+                for c, ws in self.walls.items() if ws and self.meta[c]
+            }
             out["docs_per_sec"] = {str(c): round(dps[c], 1)
                                    for c in self.levels}
             out["scaling_efficiency"] = round(
@@ -625,6 +674,14 @@ efficiency = (docs_per_sec[4N] / docs_per_sec[N]) / 4).
 
 All runs: {json.dumps(scaling['all_walls'])}
 
+Per-leg machine noise, measured DURING each leg (host CPU-steal share of
+all 32 vCPUs from /proc/stat deltas, plus guest 1-min load at leg end —
+contemporaneous evidence of the window each wall was measured in, instead
+of a single control reading extrapolated across the run):
+{json.dumps(scaling.get('leg_meta', {}))}
+Noise during the min-wall legs used for the headline number:
+{json.dumps(scaling.get('min_leg_noise', {}))}
+
 **Machine-normalized efficiency:
 {scaling.get('machine_normalized_efficiency', 'n/a')}** — the pipeline's
 N→4N efficiency divided by what the NO-SPARK control (below) extracted from
@@ -762,6 +819,13 @@ def main() -> None:
         _update_scaling(state, hw)
         RESULT["phases_completed"].append(f"scaling_block_{b + 1}")
         _write_bench_md()
+        _emit()
+
+    # leftover budget → extra 4N legs (the noise-exposed level): each one
+    # is another chance for the min estimator to catch a quiet window
+    if state.fill_high(deadline):
+        _update_scaling(state, hw)
+        RESULT["phases_completed"].append("scaling_fill_4n")
         _emit()
 
     _update_scaling(state, hw)

@@ -123,6 +123,16 @@ def get_spark(
             # CPU-heavy ones wide. Cluster guidance unchanged (2-3× total
             # executor cores).
             shuffle_partitions = max(16, 4 * cores)
+            # AQE's parallelismFirst floors coalescing at defaultParallelism
+            # (= the core count in local mode), which quantizes stages into
+            # uneven waves: a stage coalesced to 5-6 tasks on 4 cores runs
+            # as a full wave plus a straggler, idling cores for its tail.
+            # Floor at 3× cores instead so every coalesced stage still has
+            # ~3 tasks per core to smooth over (measured on the 600k-doc ER
+            # pipeline at local[4]: 149.9 s → 136.3 s, stage utilizations
+            # 0.37-0.77 → 0.91-0.98). On a real cluster this is the
+            # standard 2-3× tasks-per-core sizing, set by the deployment.
+            confs["spark.default.parallelism"] = str(3 * cores)
         except ValueError:
             shuffle_partitions = 64
     if shuffle_partitions is not None:
