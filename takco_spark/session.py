@@ -34,6 +34,14 @@ DEFAULT_CONFS: dict[str, str] = {
     # exceptions — the right behavior for dirty web-scale text input (Spark 4
     # flipped the default to ANSI).
     "spark.sql.ansi.enabled": "false",
+    # Fork Python workers from a daemon that has numpy/pandas/pyarrow and
+    # the engine's kernel modules preloaded (copy-on-write): worker boot
+    # drops from ~1-3 s of imports (up to ~9 s under contention) to the
+    # fork itself. The idle-worker pool refills asynchronously after each
+    # task, so fresh forks happen throughout a multi-job pipeline, not just
+    # at startup. On a cluster the package ships via --py-files (see
+    # README/run_linkage.py) and executors get the same warm forks.
+    "spark.python.daemon.module": "takco_spark.worker_daemon",
 }
 
 
