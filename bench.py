@@ -178,13 +178,32 @@ def _hw_control(n_docs: int = 1_200_000, n_tok: int = 26,
                 p.join()
             walls[str(nproc)].append(round(time.time() - t0, 2))
     best = {k: min(v) for k, v in walls.items()}
+    return {"n_docs": n_docs, "walls_s": best, "all_walls": walls,
+            "efficiency": _control_effs(best)}
+
+
+def _control_effs(best: dict[str, float]) -> dict[str, float]:
     effs = {}
-    lv = [str(x) for x in levels]
+    lv = list(best)
     for lo, hi in zip(lv, lv[1:]):
         ratio = int(hi) // int(lo)
         effs[f"{lo}->{hi}"] = round(best[lo] / (best[hi] * ratio), 3)
-    return {"n_docs": n_docs, "walls_s": best, "all_walls": walls,
-            "efficiency": effs}
+    return effs
+
+
+def _merge_controls(start: dict, end: dict) -> dict:
+    """Fold a SECOND control pass (run after the scaling blocks) into the
+    first: min-of-all-reps per level — the same estimator the pipeline legs
+    use — plus both per-pass efficiencies for the record. One control pass
+    at the start can misrepresent a machine that degrades mid-run (measured:
+    start-control 0.774 while later blocks ran in windows ~2× slower)."""
+    merged = {k: v + end["all_walls"].get(k, [])
+              for k, v in start["all_walls"].items()}
+    best = {k: min(v) for k, v in merged.items()}
+    return {**start, "all_walls": merged, "walls_s": best,
+            "efficiency": _control_effs(best),
+            "start_efficiency": start["efficiency"],
+            "end_efficiency": end["efficiency"]}
 
 
 # ---------------------------------------------------------------------------
@@ -306,6 +325,7 @@ def _stage_run(cores: int, n_docs: int) -> None:
         jaro_winkler_udf(F.col("id").cast("string"), F.col("id").cast("string")).alias("w")
     ).agg(F.sum("w")).collect()
 
+    steal0, tot0 = _cpu_ticks()
     t: dict[str, float] = {}
 
     def clock(name: str, fn):
@@ -377,6 +397,12 @@ def _stage_run(cores: int, n_docs: int) -> None:
         "blocking_stats": blocks_box.get("stats"),
         "run_date": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
         "load_avg_1m": round(os.getloadavg()[0], 2),
+        # host CPU-steal share during the clocked section — the VM-level
+        # noisy-neighbor signal for THIS run (load_avg alone is mostly
+        # self-load: a local[4] run sits at ~4-5 by itself)
+        "steal_pct": round(
+            100.0 * (_cpu_ticks()[0] - steal0)
+            / max(_cpu_ticks()[1] - tot0, 1), 2),
     }
     # persist so BENCH/BASELINE.md renders the per-stage table from the
     # actual measurement (dated), never from a string literal that rots
@@ -445,14 +471,21 @@ class _ScalingState:
     best evidence so far."""
 
     #: cold-start estimates (s) for the deadline math before any run exists,
-    #: from measured quiet-window 600k walls (r4: ~465 s at c1, ~136 s at
-    #: c4 after the AQE parallelism-floor fix) plus ~15% noise margin;
-    #: once a level has a real wall the estimate uses it instead.
-    EST_WALL = {1: 0.90e-3, 4: 0.30e-3}  # seconds per doc
+    #: from measured quiet-window 600k walls (r4: ~418 s at c1, ~112 s at
+    #: c4 after the AQE parallelism-floor fix + worker-daemon preload) plus
+    #: ~10% noise margin; once a level has a real wall the estimate uses it
+    #: instead.
+    EST_WALL = {1: 0.77e-3, 4: 0.21e-3}  # seconds per doc
 
     def __init__(self, levels: list[int]):
         self.levels = levels
-        self.pattern = [levels[0], levels[1], levels[1]]
+        # 4N legs FIRST inside a block: when the budget runs out mid-block,
+        # the leg that gets dropped is the N leg — whose min is the stablest
+        # statistic — never the noise-exposed 4N samples. (Measured failure
+        # this ordering fixes: a block spent ~507 s on a third N leg that
+        # could not improve the N min, then had no budget left for its 4N
+        # legs.) Across blocks the levels still interleave.
+        self.pattern = [levels[1], levels[1], levels[0]]
         self.walls: dict[int, list[float]] = {c: [] for c in levels}
         self.meta: dict[int, list[dict]] = {c: [] for c in levels}
         self.blocks_done = 0
@@ -705,7 +738,11 @@ engine could get from this machine:
         f"| {k} | {v} |" for k, v in hw["walls_s"].items()
     ) + f"""
 
-Control efficiencies: {json.dumps(hw['efficiency'])} — the 1→4 control
+Control efficiencies: {json.dumps(hw['efficiency'])}{(
+    " (two control passes, start " + json.dumps(hw['start_efficiency'])
+    + " and post-scaling " + json.dumps(hw['end_efficiency'])
+    + ", folded min-of-all-reps — the same estimator the pipeline legs use)"
+) if 'end_efficiency' in hw else ''} — the 1→4 control
 number varies with neighbor load run to run (quiet windows have measured up
 to ~0.9), while 4→16 consistently SATURATES or anti-scales with zero Spark
 involvement (SMT threads share ~16 physical cores' memory bandwidth with
@@ -823,10 +860,21 @@ def main() -> None:
 
     # leftover budget → extra 4N legs (the noise-exposed level): each one
     # is another chance for the min estimator to catch a quiet window
-    if state.fill_high(deadline):
+    # reserve the end-of-run control's cost (~2 reps of the 3-level kernel)
+    # BEFORE the 4N fills, or the fills drain the budget and the second
+    # control pass never fits
+    if state.fill_high(deadline - 160.0):
         _update_scaling(state, hw)
         RESULT["phases_completed"].append("scaling_fill_4n")
         _emit()
+
+    # end-of-run control pass: the normalization denominator should reflect
+    # the same windows the scaling legs ran in, not just the run's first
+    # minutes; min-of-all-reps across both passes (same estimator as the
+    # pipeline legs).
+    if deadline - time.time() > 100.0:
+        hw = _merge_controls(hw, _hw_control(reps=2))
+        RESULT["phases_completed"].append("hw_control_end")
 
     _update_scaling(state, hw)
     RESULT["total_bench_wall_s"] = round(time.time() - t0, 1)
