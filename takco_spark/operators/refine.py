@@ -138,8 +138,18 @@ def refine_clusters(
         F.col("cluster_id").alias("_cid"), "doc_id_1", "doc_id_2", "agg_sim"
     )  # renamed key: both cogroup sides descend from `labels`, and Spark
     # rejects the ambiguous self-referenced grouping column otherwise
-    grouped = members.groupBy("cluster_id").cogroup(
-        sims_side.groupBy("_cid")
+    #
+    # Pin the group shuffle's partition count: per-group cost here is O(k³)
+    # PYTHON compute on a few hundred BYTES, so AQE's byte-based coalescing
+    # (minPartitionSize 1 MB) collapses the whole stage to one task — a
+    # measured 7.3 s single-task stage in a 25 s pipeline at sf0.1. An
+    # explicit repartition on the group key is exempt from AQE coalescing
+    # and is reused by the cogroup (same hash partitioning), so this costs
+    # no extra shuffle; defaultParallelism is the deployment's
+    # tasks-per-core sizing.
+    par = members.sparkSession.sparkContext.defaultParallelism
+    grouped = members.repartition(par, "cluster_id").groupBy("cluster_id").cogroup(
+        sims_side.repartition(par, "_cid").groupBy("_cid")
     ).applyInPandas(lambda left, right: run(left, right), REFINE_SCHEMA)
     return grouped.unionByName(passthrough)
 
