@@ -113,7 +113,10 @@ def _emit(final: bool = False) -> None:
     try:
         bench_dir = REPO / "BENCH"
         bench_dir.mkdir(exist_ok=True)
-        (bench_dir / "result_latest.json").write_text(line)
+        # smoke-sized runs persist next to, not over, the evidence file
+        name = ("result_latest.json" if BENCH_DOCS >= 100_000
+                else "result_smoke.json")
+        (bench_dir / name).write_text(line)
     except OSError:
         pass
 
@@ -680,6 +683,11 @@ def _write_bench_md() -> None:
         return  # not enough measured yet for a coherent page
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
+    # smoke-sized runs (tiny $SPARK_GRAFT_BENCH_DOCS used by CI/verify
+    # checks) must not clobber the committed evidence page — their walls are
+    # fixed-cost-dominated by design
+    out_name = ("BASELINE.md" if BENCH_DOCS >= 100_000
+                else "BASELINE.smoke.md")
     lo, hi = scaling["levels"]
     md = f"""# BENCH — measured throughput & scaling
 
@@ -785,7 +793,7 @@ pytest parity.
         f"| {k} | {v} | {cold.get(k, '-')} |"
         for k, v in queries.items()
     ) + "\n"
-    (bench_dir / "BASELINE.md").write_text(md)
+    (bench_dir / out_name).write_text(md)
 
 
 # ---------------------------------------------------------------------------
@@ -836,22 +844,28 @@ def main() -> None:
     RESULT["phases_completed"].append("hw_control")
     _emit()
 
+    # every work phase runs against a reduced deadline that reserves the
+    # end-of-run control's cost (~2 reps of the 3-level no-Spark kernel):
+    # a phase that overruns its estimate in a loud window must never eat
+    # the control pass the normalized-efficiency evidence needs
+    work_deadline = deadline - 160.0
+
     # scaling block 1 — the north-rule evidence, banked before anything else
-    state.run_block(deadline, force=True)
+    state.run_block(work_deadline, force=True)
     _update_scaling(state, hw)
     RESULT["phases_completed"].append("scaling_block_1")
     _emit()
 
     # headline queries (bounded: leave room for at least one more block when
     # the budget plausibly allows it)
-    _time_headline_queries(deadline=deadline)
+    _time_headline_queries(deadline=work_deadline)
     RESULT["phases_completed"].append("headline")
     _write_bench_md()
     _emit()
 
     # further scaling blocks while the budget allows — reps degrade first
     for b in range(1, BENCH_REPS):
-        if not state.run_block(deadline):
+        if not state.run_block(work_deadline):
             break
         _update_scaling(state, hw)
         RESULT["phases_completed"].append(f"scaling_block_{b + 1}")
@@ -860,10 +874,8 @@ def main() -> None:
 
     # leftover budget → extra 4N legs (the noise-exposed level): each one
     # is another chance for the min estimator to catch a quiet window
-    # reserve the end-of-run control's cost (~2 reps of the 3-level kernel)
-    # BEFORE the 4N fills, or the fills drain the budget and the second
-    # control pass never fits
-    if state.fill_high(deadline - 160.0):
+    # fills run against the same reduced deadline (~2 control reps reserved)
+    if state.fill_high(work_deadline):
         _update_scaling(state, hw)
         RESULT["phases_completed"].append("scaling_fill_4n")
         _emit()
