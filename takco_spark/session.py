@@ -22,6 +22,14 @@ DEFAULT_CONFS: dict[str, str] = {
     # UDF stages keep full parallelism. (=false coalesces by bytes only and
     # serialized byte-small-but-CPU-heavy stages — measured regression.)
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
+    # parallelismFirst's floor only holds while coalesced partitions stay
+    # above minPartitionSize (default 1 MB) — so byte-SMALL but CPU-heavy
+    # shuffles (CC label rounds, stats rollups, Python-group stages) were
+    # still collapsing to 1-4 tasks. 64k keeps them wide; large shuffles are
+    # unaffected (the 64 MB advisory size still governs them). Measured on
+    # the 600k-doc pipeline at local[4], interleaved A/B: 162.2→120.4 s and
+    # 170.2→135.7 s; local[1] unchanged (~427 s, within its noise band).
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas UDFs — every scorer is batch-vectorized (input_hint:
     # "no per-row Python").
