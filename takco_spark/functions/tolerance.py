@@ -21,13 +21,20 @@ SECONDS_PER_YEAR = 365.0 * 24 * 3600
 
 
 def parse_datetime(col: Column | str) -> Column:
-    """Fallback-chain timestamp parse (strict ISO → date → year)."""
+    """Fallback-chain timestamp parse (strict ISO → date → year).
+
+    Uses ``try_to_timestamp`` for every link so malformed inputs yield null
+    (and the coalesce falls through) regardless of the session's
+    ``spark.sql.ansi.enabled`` setting — plain ``to_timestamp`` throws under
+    ANSI mode instead of returning null.
+    """
     c = F.col(col) if isinstance(col, str) else col
+    year = F.regexp_extract(c, r"^(\d{4})", 1)
     return F.coalesce(
-        F.to_timestamp(c),
-        F.to_timestamp(c, "yyyy-MM-dd"),
-        F.to_timestamp(c, "dd/MM/yyyy"),
-        F.to_timestamp(F.regexp_extract(c, r"^(\d{4})", 1), "yyyy"),
+        F.try_to_timestamp(c),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(c, F.lit("dd/MM/yyyy")),
+        F.when(year != "", F.try_to_timestamp(year, F.lit("yyyy"))),
     )
 
 
