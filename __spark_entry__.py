@@ -31,7 +31,12 @@ from takco_spark.spans import with_spans
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # widen_input: the sf* test tables are single small parquet files (one
+    # scan partition) — without widening, every narrow stage before the
+    # first shuffle runs serial regardless of core count. No-op at scale.
+    from takco_spark.sources.readers import widen_input
+
+    return widen_input(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -654,7 +659,9 @@ def aligned_corpus(spark, sf_dir):
         synth_segmented_documents(
             spark, n_entities, variants=3, scramblers=1, seed=42
         ).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    from takco_spark.sources.readers import widen_input
+
+    return widen_input(spark.read.parquet(path))
 
 
 def q_er_pipeline_aligned(spark, sf_dir):
@@ -1186,16 +1193,18 @@ def oracle_sql() -> dict[str, str]:
                      e.is_pred AS pr,
                      coalesce(e.pred_score, e.gold_score) AS s_score
               FROM ent e
-              WHERE e.col = 0
-                AND (e.is_pred OR (e.is_gold AND e.tbl IN ('t0','t2')))),
+              -- reference iterates PRED entity rows only (triples.py:51):
+              -- in this fixture each cell has one entity, so cell-has-pred
+              -- reduces to e.is_pred
+              WHERE e.col = 0 AND e.is_pred),
             pbase AS (
               SELECT e.tbl, e.rw, e.entity AS s,
                      (e.is_gold AND e.tbl IN ('t0','t1')) AS g,
                      e.is_pred AS pr,
                      coalesce(e.pred_score, e.gold_score) AS s_score
               FROM ent e
-              WHERE e.col = 0
-                AND (e.is_pred OR (e.is_gold AND e.tbl IN ('t0','t1')))),
+              -- same pred-row outer iteration for properties (triples.py:81)
+              WHERE e.col = 0 AND e.is_pred),
             pent AS (
               SELECT b.tbl, 'property' AS kind, b.s, 'inSegment' AS p,
                      e1.entity AS o, CAST(NULL AS VARCHAR) AS o_datatype,

@@ -11,15 +11,19 @@ flips to false only on clean completion). SIGTERM/SIGINT additionally flush a
 final line before exiting. Round 3's bench died rc=124 with all measurements
 buffered in memory; this protocol is the fix.
 
-Phase order is evidence-priority order (the north-rule criterion first):
+Phase order (round-5 protocol — headline moved before the scaling blocks
+because this host's noise rises as the run heats up, r4 inversion evidence):
   1. fixture build (untimed — datagen is input, not engine);
   2. NO-SPARK hardware-ceiling control (multiprocessing MinHash at 1/4/16);
-  3. scaling block 1: the ER pipeline at local[N] and local[4N], fresh JVM
+  3. headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+     on local[$SPARK_GRAFT_CPUS] — steady-state protocol (one untimed warmup
+     pass, then MIN OF TWO timed reps with cleared data caches, per-rep
+     steal/load noise meta, steady>cold inversions flagged); cold walls
+     alongside. Deadline reserves scaling block 1's estimate — the
+     north-rule evidence can never be starved by this phase;
+  4. scaling block 1: the ER pipeline at local[N] and local[4N], fresh JVM
      per run, INTERLEAVED [N, 4N, 4N] (the 4N level is hit ~2× harder by
      neighbor noise, so the min-wall estimator gets twice the samples there);
-  4. headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
-     on local[$SPARK_GRAFT_CPUS] — steady-state protocol (one untimed warmup
-     pass, then timed with cleared data caches); cold walls alongside;
   5. further scaling blocks (up to $SPARK_GRAFT_BENCH_REPS) while the budget
      allows — reps degrade first, the result never does.
 
@@ -92,6 +96,7 @@ RESULT: dict = {
     "unit": "sec",
     "queries": {},
     "queries_cold": {},
+    "queries_noise": {},
     "sf": -1.0,
     "er_scaling": {},
     "partial": True,
@@ -270,7 +275,20 @@ def _scale_memory_per_core(cores: int) -> None:
     """
     if "SPARK_GRAFT_DRIVER_MEM" not in os.environ:
         per_core = int(os.environ.get("SPARK_GRAFT_BENCH_MEM_PER_CORE", "12"))
-        os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{per_core * cores}g"
+        total = per_core * cores
+        # never ask the JVM for more heap than the box has — an Xmx past
+        # physical RAM degrades pathologically once the committed heap
+        # starts paging (measured: a 384g heap at local[32] turned a 1.5 s
+        # stage into 46 s). Cap at ~70% of MemTotal; the scaling levels
+        # (1 and 4 cores) sit far below the cap and are unaffected.
+        try:
+            with open("/proc/meminfo") as fh:
+                kb = int(next(ln for ln in fh
+                              if ln.startswith("MemTotal")).split()[1])
+            total = min(total, max(8, int(kb / 1024 / 1024 * 0.7)))
+        except (OSError, StopIteration, ValueError):
+            pass
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{total}g"
 
 
 def _pipeline_run(cores: int, n_docs: int) -> None:
@@ -412,6 +430,136 @@ def _stage_run(cores: int, n_docs: int) -> None:
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     (bench_dir / f"stage_run_c{cores}.json").write_text(json.dumps(payload))
+    print(json.dumps(payload))
+    spark.stop()
+
+
+def _aligned_stage_run(cores: int) -> None:
+    """Child-process entry: ONE fresh-JVM run of the er_pipeline_aligned_max1
+    headline path with per-stage walls (seg_features / features / blocking /
+    cand_pairs / seg_scores / max1_agg / cc / refine) — the attribution
+    evidence the r4 verdict asked for (where do the aligned headline's
+    seconds go). Prints JSON and persists to BENCH/aligned_stage_run_c*.json.
+    """
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from takco_spark.config import PipelineConfig
+    from takco_spark.functions.similarity import jaro_winkler_udf
+    from takco_spark.operators.blocking import block_documents, candidate_pairs
+    from takco_spark.operators.components import (
+        connected_components,
+        rechunk_oversized,
+    )
+    from takco_spark.operators.refine import refine_clusters
+    from takco_spark.operators.scoring import (
+        aggregate_aligned,
+        aligned_segment_scores,
+    )
+    from takco_spark.session import get_spark
+    from takco_spark.spans import doc_segment_features, doc_text_features
+
+    # NOTE: no _scale_memory_per_core here — this run attributes the
+    # HEADLINE phase's wall, so it must use the headline session's exact
+    # memory config (48g default at local[32]); the per-core scaling is the
+    # N→4N protocol's concern. (First version of this run scaled to
+    # 12g×32=384g > physical RAM and measured a 46 s features stage that is
+    # 1.5 s under the real headline config.)
+    spark = get_spark(app_name=f"aligned-stage-{cores}",
+                      master=f"local[{cores}]")
+    docs = entrymod.aligned_corpus(spark, SF_DIR).select(
+        "doc_id", "spans").persist()
+    n_docs = docs.count()
+    spark.range(10**6).count()
+    spark.range(cores * 1000, numPartitions=cores * 2).select(
+        jaro_winkler_udf(F.col("id").cast("string"),
+                         F.col("id").cast("string")).alias("w")
+    ).agg(F.sum("w")).collect()
+
+    steal0, tot0 = _cpu_ticks()
+    t: dict[str, float] = {}
+    counts: dict[str, int] = {"docs": n_docs}
+
+    def clock(name: str, fn):
+        t0 = time.time()
+        r = fn()
+        t[name] = round(time.time() - t0, 2)
+        return r
+
+    cfg = PipelineConfig(aligned=True, align_mode="max1",
+                         refine_threshold=0.6)
+    feats = doc_text_features(docs, cfg.min_token_len).persist()
+    counts["features"] = clock("features", feats.count)
+    segs = doc_segment_features(docs, cfg.min_token_len).persist()
+    counts["seg_features"] = clock("seg_features", segs.count)
+
+    box: dict = {}
+
+    def _run_blocking():
+        blocks, st = block_documents(feats, cfg)
+        box["blocks"] = blocks
+        box["stats"] = [s.as_dict() for s in st]
+        return blocks.count()
+
+    counts["blocks"] = clock("blocking", _run_blocking)
+
+    def _run_pairs():
+        box["pairs"] = candidate_pairs(box["blocks"]).persist()
+        return box["pairs"].count()
+
+    counts["cand_pairs"] = clock("cand_pairs", _run_pairs)
+
+    def _run_seg_scores():
+        box["sub"] = aligned_segment_scores(box["pairs"], segs, cfg).persist()
+        return box["sub"].count()
+
+    counts["seg_scores"] = clock("seg_scores", _run_seg_scores)
+
+    def _run_max1():
+        box["scored"] = aggregate_aligned(box["sub"], segs, cfg).persist()
+        return box["scored"].count()
+
+    counts["scored_pairs"] = clock("max1_agg", _run_max1)
+
+    def _run_cc():
+        edges = box["scored"].select(
+            F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
+        res = connected_components(edges, cfg.max_cc_iterations)
+        box["cc_iterations"] = res.iterations
+        labels = res.labels
+        if cfg.max_cluster_size:
+            labels = rechunk_oversized(labels, cfg.max_cluster_size)
+        box["labels"] = labels.persist()
+        return box["labels"].count()
+
+    counts["labels"] = clock("cc", _run_cc)
+
+    def _run_refine():
+        guard = cfg.max_cluster_size if cfg.max_cluster_size else 1000
+        refined = refine_clusters(
+            box["labels"].select("doc_id", "cluster_id"),
+            box["scored"].select("doc_id_1", "doc_id_2", "agg_sim"),
+            threshold=cfg.refine_threshold, max_group_size=guard)
+        refined.write.format("noop").mode("overwrite").save()
+        return None
+
+    clock("refine", _run_refine)
+    t["total"] = round(sum(v for v in t.values()), 2)
+    payload = {
+        "cores": cores, "sf_dir": SF_DIR, "stage_walls": t,
+        "stage_counts": counts,
+        "cc_iterations": box.get("cc_iterations"),
+        "blocking_stats": box.get("stats"),
+        "run_date": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+        "load_avg_1m": round(os.getloadavg()[0], 2),
+        "steal_pct": round(
+            100.0 * (_cpu_ticks()[0] - steal0)
+            / max(_cpu_ticks()[1] - tot0, 1), 2),
+    }
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / f"aligned_stage_run_c{cores}.json").write_text(
+        json.dumps(payload))
     print(json.dumps(payload))
     spark.stop()
 
@@ -597,36 +745,68 @@ def _time_headline_queries(deadline: float) -> None:
     whole-stage-codegen compile + Python-worker imports — one-time costs a
     long-running cluster amortizes away), the data cache is cleared, then
     each query is timed with the cache cleared between queries so each
-    timing covers its full recomputation. Both passes are reported:
-    ``queries`` (steady-state, the headline) and ``queries_cold``
-    (first-ever-run walls including compile). Fixtures were materialized by
-    _build_fixtures before any clock."""
+    timing covers its full recomputation. The steady wall is the MIN OF TWO
+    reps (this host's documented 2-6× noise makes a single rep
+    indefensible — r4 verdict), and every rep carries the same noise
+    metadata as the scaling legs (host CPU-steal share + load1, measured
+    DURING the rep) in ``queries_noise``; a steady min that still exceeds
+    its cold wall is flagged ``steady_gt_cold`` so an inversion is
+    attributable instead of silent. Passes reported: ``queries``
+    (steady-state, the headline), ``queries_cold`` (first-ever-run walls
+    including compile), ``queries_noise`` (per-rep walls + noise). Fixtures
+    were materialized by _build_fixtures before any clock."""
     import __spark_entry__ as entrymod
     from takco_spark.session import get_spark, stop_spark
 
     spark = get_spark(app_name="bench-queries", master=f"local[{CPUS}]")
     spark.range(10**6).count()
     qs = entrymod.queries()
+
+    def run_once(name: str) -> tuple[float, dict]:
+        steal0, tot0 = _cpu_ticks()
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        wall = round(time.time() - t0, 3)
+        steal1, tot1 = _cpu_ticks()
+        return wall, {
+            "steal_pct": round(100.0 * (steal1 - steal0)
+                               / max(tot1 - tot0, 1), 2),
+            "load1": round(os.getloadavg()[0], 2),
+        }
+
     for name in HEADLINE:  # warmup pass (also the cold-wall record)
         if time.time() > deadline:
             print(f"# headline cold pass truncated at {name} (deadline)",
                   file=sys.stderr)
             break
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        RESULT["queries_cold"][name] = round(time.time() - t0, 3)
+        wall, meta = run_once(name)
+        RESULT["queries_cold"][name] = wall
+        RESULT["queries_noise"][name] = {"cold": meta}
     for name in HEADLINE:
         if name not in RESULT["queries_cold"]:
             break
-        if time.time() > deadline:
+        reps: list[float] = []
+        metas: list[dict] = []
+        for _rep in range(2):
+            if time.time() > deadline:
+                break
+            spark.catalog.clearCache()  # recompute everything; keep JIT warm
+            wall, meta = run_once(name)
+            reps.append(wall)
+            metas.append(meta)
+        noise = RESULT["queries_noise"].setdefault(name, {})
+        if not reps:
             print(f"# headline steady pass truncated at {name} (deadline); "
-                  "cold walls stand in", file=sys.stderr)
+                  "cold wall stands in", file=sys.stderr)
             RESULT["queries"][name] = RESULT["queries_cold"][name]
+            noise["steady_reps"] = []
             continue
-        spark.catalog.clearCache()  # recompute everything; keep JIT warm
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        RESULT["queries"][name] = round(time.time() - t0, 3)
+        best = min(reps)
+        RESULT["queries"][name] = best
+        noise["steady_reps"] = reps
+        noise["steady"] = metas[reps.index(best)]
+        if best > RESULT["queries_cold"][name]:
+            noise["steady_gt_cold"] = True  # inversion — see noise meta
     stop_spark()
 
 
@@ -678,6 +858,7 @@ def _write_bench_md() -> None:
     scaling = RESULT.get("er_scaling") or {}
     queries = RESULT.get("queries") or {}
     cold = RESULT.get("queries_cold") or {}
+    noise = RESULT.get("queries_noise") or {}
     hw = scaling.get("hw_control") or {}
     if "wall_s" not in scaling or not hw:
         return  # not enough measured yet for a coherent page
@@ -779,18 +960,27 @@ the driver's run window (min-of-interleaved-blocks is the noise defense).
 Steady-state protocol: one untimed warmup pass over all queries (JVM JIT +
 codegen compile + Python-worker imports — one-time costs a long-running
 cluster amortizes), then each query timed with the data cache CLEARED first
-(every timing covers its full recomputation). Fixtures (aligned corpus,
-scaling corpus) are built before any clock: datagen is input, not engine.
-Cold (first-ever-run) walls are reported alongside for transparency. The
-aligned pipeline is benched in `max1` alignment mode (the reference's
-algebraic fast path, pinned at full scrambler F1 in
-test_aligned_max1_with_refinement_full_f1); the greedy mode remains under
-pytest parity.
+(every timing covers its full recomputation); the steady wall is the MIN OF
+TWO reps and each rep carries the same contemporaneous noise meta as the
+scaling legs (host CPU-steal %, guest load1). The headline phase runs FIRST
+in the bench (before the scaling blocks heat the machine). A steady min
+still above its cold wall is flagged `inv` — a measured-noise inversion,
+not a regression claim. Fixtures (aligned corpus, scaling corpus) are built
+before any clock: datagen is input, not engine. The aligned pipeline is
+benched in `max1` alignment mode (the reference's algebraic fast path,
+pinned at full scrambler F1 in test_aligned_max1_with_refinement_full_f1);
+the greedy mode remains under pytest parity.
 
-| query | steady (s) | cold (s) |
-|---|---|---|
+| query | steady (s) | cold (s) | steady reps (s) | steal% | load1 | |
+|---|---|---|---|---|---|---|
 """ + "\n".join(
-        f"| {k} | {v} | {cold.get(k, '-')} |"
+        "| {k} | {v} | {c} | {reps} | {steal} | {load} | {flag} |".format(
+            k=k, v=v, c=cold.get(k, "-"),
+            reps=",".join(str(r) for r in
+                          (noise.get(k, {}).get("steady_reps") or [])) or "-",
+            steal=noise.get(k, {}).get("steady", {}).get("steal_pct", "-"),
+            load=noise.get(k, {}).get("steady", {}).get("load1", "-"),
+            flag="inv" if noise.get(k, {}).get("steady_gt_cold") else "")
         for k, v in queries.items()
     ) + "\n"
     (bench_dir / out_name).write_text(md)
@@ -822,6 +1012,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--stage-run":
         _stage_run(int(sys.argv[2]), int(sys.argv[3]))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--aligned-stage-run":
+        _aligned_stage_run(int(sys.argv[2]))
+        return
 
     t0 = time.time()
     deadline = t0 + BUDGET - 60.0  # final-emission safety margin
@@ -850,17 +1043,26 @@ def main() -> None:
     # the control pass the normalized-efficiency evidence needs
     work_deadline = deadline - 160.0
 
-    # scaling block 1 — the north-rule evidence, banked before anything else
+    # headline queries FIRST — this host's noise demonstrably rises as the
+    # run heats up (r4: steady walls > cold walls mid-run), and the scaling
+    # legs already defend themselves with min-of-reps + per-leg noise meta
+    # while the headline has only two steady reps. The headline deadline
+    # reserves scaling block 1's estimate (the north-rule evidence always
+    # still runs, force=True) and is additionally capped so extra scaling
+    # blocks stay reachable.
+    headline_deadline = min(
+        work_deadline - state.est_block() - 60.0,
+        time.time() + 1200.0,
+    )
+    _time_headline_queries(deadline=headline_deadline)
+    RESULT["phases_completed"].append("headline")
+    _write_bench_md()
+    _emit()
+
+    # scaling block 1 — the north-rule evidence, forced regardless of budget
     state.run_block(work_deadline, force=True)
     _update_scaling(state, hw)
     RESULT["phases_completed"].append("scaling_block_1")
-    _emit()
-
-    # headline queries (bounded: leave room for at least one more block when
-    # the budget plausibly allows it)
-    _time_headline_queries(deadline=work_deadline)
-    RESULT["phases_completed"].append("headline")
-    _write_bench_md()
     _emit()
 
     # further scaling blocks while the budget allows — reps degrade first

@@ -183,33 +183,24 @@ def _width_norm_expr(mode: str):
     raise ValueError(f"unknown align_width_norm {mode!r}")
 
 
-def score_pairs_aligned(
+def aligned_segment_scores(
     pairs: DataFrame, seg_features: DataFrame, cfg: PipelineConfig
 ) -> DataFrame:
-    """A5 as a first-class scoring stage: per candidate pair, score SEGMENT
-    pairs with the same matcher suite, then aggregate sub-similarities into
-    one pair score by greedy 1:1 alignment (soft jaccard) or the
-    pure-DataFrame 'max1' mode.
+    """Segment-level sub-similarities for the aligned scoring path: per
+    candidate pair, every (left-segment, right-segment) combination scored
+    with the matcher suite and collapsed to one ``s`` column via the config's
+    agg expression; zero-score rows dropped (exact for both downstream
+    aggregators — greedy consumes cells in descending score order and max1's
+    mean denominator is the matched-left count, reference cluster.py:343-345).
 
-    Reference: column-pair scores per table pair
-    (yield_blocked_matches → aggregate_match_scores,
-    /root/reference/takco/cluster/cluster.py:346-420) aggregated by
-    greedy_align + aggregate_aligned_column_sims (cluster.py:246-345),
-    invoked from the cluster stage (/root/reference/takco/__init__.py:349-374).
-
-    Output contract matches :func:`score_pairs`:
-    (doc_id_1, doc_id_2, block_key, agg_sim), agg_sim >= cfg.agg_threshold.
+    Returns (doc_id_1, doc_id_2, block_key, l, r, s) with s > 0.
 
     Scale shape: the widening joins are shuffle-hash on the narrow
-    repartitioned pair stream (same rationale as score_pairs); sub-sims of 0
-    are dropped BEFORE the per-pair aggregation — exact, because greedy
-    considers them last and they add 0 — so the per-pair cell list is
-    bounded by the count of actually-similar segment pairs, not n1×n2, and
-    additionally hard-capped at ``cfg.align_max_cells`` top-score cells per
-    pair (skew guard for pathological doc pairs; exact below the cap).
+    repartitioned pair stream (same rationale as score_pairs). This is the
+    fan-out stage — |pairs| × n1 × n2 rows pass through the matcher
+    projection — so it is exposed as its own function for stage-level
+    attribution (bench.py --aligned-stage-run).
     """
-    from takco_spark.operators.alignment import greedy_total_udf
-
     par = pairs.sparkSession.sparkContext.defaultParallelism
     s1 = seg_features.select(
         F.col("doc_id").alias("doc_id_1"),
@@ -241,7 +232,17 @@ def score_pairs_aligned(
         )
     )
     seg_agg = compile_agg_expr(cfg.agg_expr, {"jaccard", "lev_sim", "jw"})
-    sub = sub.withColumn("s", seg_agg).where(F.col("s") > 0)
+    return sub.withColumn("s", seg_agg).where(F.col("s") > 0)
+
+
+def aggregate_aligned(sub: DataFrame, seg_features: DataFrame,
+                      cfg: PipelineConfig) -> DataFrame:
+    """Aggregate segment sub-similarities (from :func:`aligned_segment_scores`)
+    into one score per candidate pair — 'max1' (pure DataFrame mean-of-maxes,
+    reference cluster.py:344-345) or 'greedy' 1:1 soft-jaccard alignment
+    (cluster.py:246-345). Output: (doc_id_1, doc_id_2, block_key, agg_sim)
+    with agg_sim >= cfg.agg_threshold."""
+    from takco_spark.operators.alignment import greedy_total_udf
 
     if cfg.align_mode == "max1":
         # Reference parity (cluster.py:344-345, the align_use=False branch):
@@ -298,3 +299,31 @@ def score_pairs_aligned(
         .where(F.col("agg_sim") >= F.lit(cfg.agg_threshold))
         .select("doc_id_1", "doc_id_2", "block_key", "agg_sim")
     )
+
+
+def score_pairs_aligned(
+    pairs: DataFrame, seg_features: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """A5 as a first-class scoring stage: per candidate pair, score SEGMENT
+    pairs with the same matcher suite, then aggregate sub-similarities into
+    one pair score by greedy 1:1 alignment (soft jaccard) or the
+    pure-DataFrame 'max1' mode.
+
+    Reference: column-pair scores per table pair
+    (yield_blocked_matches → aggregate_match_scores,
+    /root/reference/takco/cluster/cluster.py:346-420) aggregated by
+    greedy_align + aggregate_aligned_column_sims (cluster.py:246-345),
+    invoked from the cluster stage (/root/reference/takco/__init__.py:349-374).
+
+    Output contract matches :func:`score_pairs`:
+    (doc_id_1, doc_id_2, block_key, agg_sim), agg_sim >= cfg.agg_threshold.
+
+    Composition of :func:`aligned_segment_scores` (the fan-out sub-join) and
+    :func:`aggregate_aligned` (per-pair reduction) — split so stage-level
+    attribution can clock them independently. In greedy mode the per-pair
+    cell list is bounded by the count of actually-similar segment pairs, not
+    n1×n2, and additionally hard-capped at ``cfg.align_max_cells`` top-score
+    cells per pair (skew guard; exact below the cap).
+    """
+    sub = aligned_segment_scores(pairs, seg_features, cfg)
+    return aggregate_aligned(sub, seg_features, cfg)

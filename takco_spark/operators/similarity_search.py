@@ -92,19 +92,23 @@ def make_hyperplane_udf(dim: int | None, n_bits: int, seed: int):
             if d is None:  # all-null batch before any dim is known
                 return pd.Series([None] * len(vecs))
         planes = planes_for(d)
-        out = [None] * len(vecs)
+        # null vectors ALWAYS get null buckets (→ dropped by the explode):
+        # an absent embedding has no position in the space, and hashing it
+        # as a zero vector would make null handling depend on whether dim
+        # was already known when the batch arrived (batch-order dependent).
+        out: list = [None] * len(vecs)
         mat = np.array(
             [np.zeros(d) if v is None else np.asarray(v, dtype=np.float64) for v in vecs]
         )
         weights = (1 << np.arange(n_bits, dtype=np.int64))
+        keys_per_table = []
         for t in range(n_tables):
             proj = mat @ planes[t].T  # (batch, n_bits)
             bits = (proj > 0).astype(np.int64)
-            keys = (bits * weights).sum(axis=1) + (t << n_bits)
-            for i in range(len(vecs)):
-                if out[i] is None:
-                    out[i] = []
-                out[i].append(int(keys[i]))
+            keys_per_table.append((bits * weights).sum(axis=1) + (t << n_bits))
+        for i, v in enumerate(vecs):
+            if v is not None:
+                out[i] = [int(keys_per_table[t][i]) for t in range(n_tables)]
         return pd.Series(out)
 
     return buckets

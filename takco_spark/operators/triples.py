@@ -17,12 +17,19 @@ Semantics preserved:
   pred = e ∈ pred entities (triples.py:25-45).
 - *class* triples: the column's classes × the column's entity annotations;
   kept when (e∈gold ∧ cls∈gold) ∨ (e∈pred ∧ cls∈pred) (triples.py:48-70).
+  The reference iterates PRED-dict keys at the outer levels
+  (``table["classes"].items()`` then ``table["entities"][ci].items()``,
+  triples.py:48,51): a column with no PREDICTED class emits nothing even if
+  gold classes exist, and a cell with no PREDICTED entity emits nothing even
+  if gold entities exist — mirrored here as semi-joins on the pred streams.
 - *property* triples: (from_col→to_col) properties × per-row from-entities,
   kept when (s∈gold ∧ p∈gold) ∨ (s∈pred ∧ p∈pred); the object is the to-cell's
   PREDICTED entity when the to-column has any entity annotations
   (``isentityprop``, triples.py:77-78,101-108), else the to-cell text as a
   literal — one triple per predicted to-column class as its datatype when
-  classes exist, else a plain literal (triples.py:109-133).
+  classes exist, else a plain literal (triples.py:109-133). Same pred-key
+  outer iteration (triples.py:73,81): the (from_col,to_col) key must be in
+  the PRED properties dict and the from-cell must have PREDICTED entities.
 - ``hasgold``: a table with no gold annotations at all yields gold=NULL
   flags, not False (triples.py:17-18) — "unannotated", not "wrong".
 
@@ -79,6 +86,13 @@ def flatten_triples(
     without any gold annotation (hasgold=False), boolean otherwise.
     """
     ent = _pivot_sources(entities, ["table_id", "col", "row", "entity"])
+    # the reference iterates PRED-dict keys at the outer levels
+    # (triples.py:48,51,73,81): cells/columns/property-keys with only GOLD
+    # annotations emit no class/property triples
+    pred_cells = (
+        entities.where(F.col("source") == "pred")
+        .select("table_id", "col", "row").distinct()
+    )
 
     # hasgold per table: any gold row in any annotation stream
     gold_tables = entities.where(F.col("source") == "gold").select("table_id")
@@ -112,8 +126,18 @@ def flatten_triples(
 
     if include_type and classes is not None:
         cls = _pivot_sources(classes, ["table_id", "col", "cls"])
+        # outer iteration is over table["classes"] (pred) keys: a column
+        # whose classes are all gold-only emits nothing (triples.py:48)
+        pred_cls_cols = (
+            classes.where(F.col("source") == "pred")
+            .select("table_id", "col").distinct()
+        )
+        cls = cls.join(pred_cls_cols, ["table_id", "col"], "left_semi")
         clt = (
-            ent.join(
+            # rows come from table["entities"][ci] (pred) keys: a cell with
+            # only gold entities emits nothing (triples.py:51)
+            ent.join(pred_cells, ["table_id", "col", "row"], "left_semi")
+            .join(
                 cls.select(
                     "table_id", "col", "cls",
                     F.col("is_pred").alias("c_pred"),
@@ -141,7 +165,17 @@ def flatten_triples(
 
     if properties is not None:
         prp = _pivot_sources(properties, ["table_id", "from_col", "to_col", "prop"])
-        from_ent = ent.select(
+        # outer iteration is over table["properties"] (pred) keys
+        # (triples.py:73): gold-only (from_col, to_col) keys emit nothing
+        pred_prp_keys = (
+            properties.where(F.col("source") == "pred")
+            .select("table_id", "from_col", "to_col").distinct()
+        )
+        prp = prp.join(pred_prp_keys, ["table_id", "from_col", "to_col"],
+                       "left_semi")
+        from_ent = ent.join(
+            pred_cells, ["table_id", "col", "row"], "left_semi"
+        ).select(
             "table_id", F.col("col").alias("from_col"), "row",
             F.col("entity").alias("s"),
             F.col("is_pred").alias("s_pred"), F.col("is_gold").alias("s_gold"),

@@ -64,6 +64,12 @@ def run_pipeline(
     table ``(doc_id, spans)``; extra input columns pass through to the output
     unchanged."""
     cfg = cfg or PipelineConfig()
+    # Input-layout defense: a tiny single-file scan is ONE partition and
+    # serializes every narrow stage up to the first shuffle; at real scale
+    # the input has >= defaultParallelism splits and this is a no-op.
+    from takco_spark.sources.readers import widen_input
+
+    documents = widen_input(documents)
     ckpt = (
         CheckpointManager(spark, cfg.checkpoint_dir, cfg.run_id,
                           config_token=config_token(cfg))

@@ -42,14 +42,6 @@ DEFAULT_CONFS: dict[str, str] = {
     # exceptions — the right behavior for dirty web-scale text input (Spark 4
     # flipped the default to ANSI).
     "spark.sql.ansi.enabled": "false",
-    # Fork Python workers from a daemon that has numpy/pandas/pyarrow and
-    # the engine's kernel modules preloaded (copy-on-write): worker boot
-    # drops from ~1-3 s of imports (up to ~9 s under contention) to the
-    # fork itself. The idle-worker pool refills asynchronously after each
-    # task, so fresh forks happen throughout a multi-job pipeline, not just
-    # at startup. On a cluster the package ships via --py-files (see
-    # README/run_linkage.py) and executors get the same warm forks.
-    "spark.python.daemon.module": "takco_spark.worker_daemon",
 }
 
 
@@ -100,6 +92,18 @@ def get_spark(
         # a programmatic builder.config outranks spark-submit --conf, so
         # setting them unconditionally would silently override the operator.
         confs["spark.ui.enabled"] = "false"
+        # Fork Python workers from a daemon that has numpy/pandas/pyarrow
+        # and the engine's kernel modules preloaded (copy-on-write): worker
+        # boot drops from ~1-3 s of imports (up to ~9 s under contention)
+        # to the fork itself. The idle-worker pool refills asynchronously
+        # after each task, so fresh forks happen throughout a multi-job
+        # pipeline. LOCAL-ONLY (r4 advice): on a cluster where --py-files
+        # was forgotten, a default daemon module would make executor Python
+        # workers fail with an obscure import error instead of degrading to
+        # the stock pyspark.daemon — cluster submissions opt in explicitly:
+        #   --conf spark.python.daemon.module=takco_spark.worker_daemon
+        # after shipping the package (see README/run_linkage.py).
+        confs["spark.python.daemon.module"] = "takco_spark.worker_daemon"
         # Shuffle/spill files on the fastest local storage available. This
         # host's /tmp sits on a CONTENDED virtual disk (noisy neighbors);
         # /dev/shm is a large empty tmpfs. On a real cluster

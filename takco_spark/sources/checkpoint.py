@@ -54,8 +54,8 @@ class _HadoopPaths:
     def touch(self, p: str) -> None:
         self._fs(p).create(self._path(p), True).close()
 
-    def write_text(self, p: str, data: str) -> None:
-        out = self._fs(p).create(self._path(p), True)
+    def write_text(self, p: str, data: str, overwrite: bool = True) -> None:
+        out = self._fs(p).create(self._path(p), overwrite)
         try:
             out.write(bytearray(data, "utf-8"))
         finally:
@@ -109,9 +109,18 @@ class CheckpointManager:
         )
         # One immutable object per append under _lineage/ (S3 has no append;
         # a directory of small jsonl parts is the DFS-portable equivalent of
-        # the old single _lineage.jsonl).
+        # the old single _lineage.jsonl). Part names carry a per-INSTANCE
+        # nonce: two managers sharing a run_id/base_dir in the same process
+        # would otherwise produce identical {run_id}-{pid}-{seq} names and
+        # silently overwrite each other's parts (r4 advice); with the nonce
+        # plus overwrite=False a real collision raises instead of losing
+        # rows. Wall-time prefix keeps filename sort ≈ chronological across
+        # writers (exact order within a part is the row order).
+        import uuid
+
         self._lineage_dir = f"{self.base_dir}/_lineage"
         self._lineage_seq = 0
+        self._lineage_nonce = f"{int(time.time()):010d}-{uuid.uuid4().hex[:8]}"
 
     # -- paths --------------------------------------------------------------
     def stage_path(self, name: str) -> str:
@@ -124,11 +133,13 @@ class CheckpointManager:
     # -- lineage ------------------------------------------------------------
     def _append_lineage(self, rows: list[dict]) -> None:
         self._lineage_seq += 1
-        part = (f"{self._lineage_dir}/{self.run_id}-{os.getpid()}"
-                f"-{self._lineage_seq:06d}.jsonl")
+        part = (f"{self._lineage_dir}/{self._lineage_nonce}-{self.run_id}"
+                f"-{os.getpid()}-{self._lineage_seq:06d}.jsonl")
         self._hfs.mkdirs(self._lineage_dir)
         self._hfs.write_text(
-            part, "".join(json.dumps(r, sort_keys=True) + "\n" for r in rows)
+            part,
+            "".join(json.dumps(r, sort_keys=True) + "\n" for r in rows),
+            overwrite=False,
         )
 
     def lineage(self) -> list[dict]:

@@ -16,6 +16,27 @@ from pyspark.sql import functions as F
 from takco_spark.spans import DOCUMENT_SCHEMA
 
 
+def widen_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Defend the map side against under-partitioned input.
+
+    A scan's partition count comes from the INPUT LAYOUT (file count / split
+    size), not from the cluster: a single small parquet file is ONE partition,
+    and every narrow stage downstream of it runs serial until the first
+    shuffle — measured on the aligned headline at sf0.1, where a 1.2 MB
+    fixture scanned as ~3 partitions serialized a 32-core pipeline (stage
+    attribution: features 42.6 s for 12k docs). At web scale the input has
+    thousands of splits, the branch is false, and this is a no-op — so the
+    repartition cost is only ever paid on inputs small enough for it to be
+    trivial. Filters still push down: Catalyst moves predicates through
+    Repartition nodes (PushDownPredicates).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_documents_jsonl(spark: SparkSession, path: str,
                          keep_corrupt: bool = False) -> DataFrame:
     """Robust JSONL → document table (S1). Bad lines are captured in

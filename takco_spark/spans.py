@@ -94,21 +94,28 @@ def doc_text_features(documents: DataFrame, min_token_len: int = 2,
       split on \\W+).
 
     One narrow projection; everything is built with JVM-side higher-order
-    functions (no Python). Span order is honored via array_sort on offset.
+    functions (no Python). Span order is honored via array_sort on
+    (offset, text) structs — NATURAL struct ordering, not a comparator
+    lambda: the lambda comparator runs interpreted per comparison and
+    measured ~7× slower on the aligned corpus (1.48 s → 0.22 s for 12k
+    docs at local[32]); offsets are unique per document, so the text
+    tiebreak only adds determinism. The sorted array is computed ONCE in a
+    sub-projection and shared by both output columns.
     """
     ordered = (
-        "array_sort(filter(spans, s -> s.kind != 'media'), "
-        "(a, b) -> case when a.offset < b.offset then -1 "
-        "when a.offset > b.offset then 1 else 0 end)"
+        "array_sort(transform(filter(spans, s -> s.kind != 'media'), "
+        "s -> struct(s.offset as offset, s.text as text)))"
     )
     return documents.select(
+        "doc_id", F.expr(ordered).alias("_os")
+    ).select(
         "doc_id",
         F.expr(
-            f"substring(array_join(transform({ordered}, s -> s.text), ' '), 1, {int(max_name_len)})"
+            f"substring(array_join(transform(_os, s -> s.text), ' '), 1, {int(max_name_len)})"
         ).alias("name"),
         F.expr(
             f"""array_distinct(filter(
-                  flatten(transform({ordered}, s -> split(lower(s.text), '\\\\W+'))),
+                  flatten(transform(_os, s -> split(lower(s.text), '\\\\W+'))),
                   t -> length(t) >= {int(min_token_len)}))"""
         ).alias("tokens"),
     )

@@ -70,10 +70,11 @@ def test_class_triples(spark, annotated):
     clt = _rows(out.where(F.col("kind") == "class")
                 .select("table_id", "s", "p", "o", "gold", "pred"))
     # col-0 entities × col-0 classes; E_germany sits in col 1 → no class
-    # triple; E_paris is gold-only and the class is gold too → gold triple
+    # triple; E_paris is a GOLD-ONLY cell — the reference iterates PRED
+    # entity rows only (triples.py:51), so it emits nothing (r4 advice:
+    # restrict class/property emission to pred-present keys)
     assert clt == {
         ("tA", "E_berlin", TYPE_P, "City", True, True),
-        ("tA", "E_paris", TYPE_P, "City", True, False),
     }
 
 
@@ -130,10 +131,12 @@ def test_novelty_feed(spark, annotated):
     counts = {r["kind"]: (r["tp"], r["fp"], r["fn"])
               for r in novelty_counts(kinds, gold, pred).collect()}
     # label: E_berlin tp; E_germany + E_x fp (tB's NULL gold ≠ gold);
-    # E_paris fn. class: E_berlin tp, E_paris fn.
+    # E_paris fn. class: E_berlin tp only — E_paris is a gold-only cell and
+    # the reference emits class triples for PRED entity rows only
+    # (triples.py:51), so its gold class triple never enters the gold set.
     # property: capitalOf tp, founded fp (NULL gold counts as not-gold).
     assert counts == {
         "label": (1, 2, 1),
-        "class": (1, 0, 1),
+        "class": (1, 0, 0),
         "property": (1, 1, 0),
     }
