@@ -12,6 +12,7 @@ value-hash comparison is stable.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -816,8 +817,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine": q_tfidf_cosine,
         "date_tolerance": q_date_tolerance,
         "context_rows": q_context_rows,
-        # rows-only (no oracle possible: seeded-hash / pipeline internals)
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        # golden-pinned (seeded-hash / pipeline internals: no SQL twin, but
+        # deterministic — oracle is a committed expected-output parquet,
+        # see _golden_sql / scripts/make_goldens.py)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "er_pipeline_spans": q_er_pipeline_spans,
@@ -831,6 +834,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle SQL — DuckDB side (views pre-registered over the same parquet)
 # ---------------------------------------------------------------------------
+
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "data", "goldens")
+
+
+def _golden_sql(name: str) -> str:
+    """Golden-pinned oracle: select the committed expected-output parquet
+    matching the current SF (detected from the orders view's row count —
+    1500 at sf0.001, 15000 at sf0.01). Regenerate goldens with
+    scripts/make_goldens.py when an algorithm changes intentionally."""
+    return f"""
+        SELECT g.* FROM read_parquet('{_GOLDEN_DIR}/{name}.sf0.01.parquet') g
+        WHERE (SELECT count(*) FROM orders) = 15000
+        UNION ALL
+        SELECT g.* FROM read_parquet('{_GOLDEN_DIR}/{name}.sf0.001.parquet') g
+        WHERE (SELECT count(*) FROM orders) = 1500
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1372,4 +1393,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(off AS INT) AS "offset"
             FROM (SELECT * FROM prefix UNION ALL SELECT * FROM cells)
         """,
+        # --- golden-pinned oracles (r4 verdict task #4) ---------------------
+        # Seeded-hash / full-pipeline queries have no SQL twin, but ARE
+        # deterministic (scripts/make_goldens.py generates each golden twice
+        # in independent jobs and asserts equality before writing). The
+        # oracle is a committed expected-output parquet, selected per SF by
+        # the orders row count (1500 @ sf0.001, 15000 @ sf0.01 — the driver
+        # gate's SF). Any drift in a seeded kernel or pipeline stage now
+        # hash-mismatches instead of hiding behind `no_oracle`.
+        **{
+            name: _golden_sql(name)
+            for name in (
+                "minhash_lsh_pairs", "simhash_pairs", "knn_lsh",
+                "emb_neardup_lsh", "er_pipeline_spans",
+                "er_pipeline_aligned", "er_pipeline_aligned_max1",
+            )
+        },
     }

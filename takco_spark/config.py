@@ -97,6 +97,18 @@ class PipelineConfig:
     #: stricter threshold — agg_threshold_col analog, wikitables.toml:167).
     #: None disables; when set, the pipeline emits refined cluster ids.
     refine_threshold: float | None = None
+    # --- header-union pre-clustering (EP2 step 2) ----------------------------
+    #: merge documents whose header-span sequences hash identically into one
+    #: union document BEFORE blocking (reference headerunions fold,
+    #: takco/__init__.py:282-291, cluster/headerunions.py:4-9) — the cheap
+    #: exact-key pre-cluster that cuts candidate-pair mass on header-heavy
+    #: corpora. Members inherit their union's final cluster label.
+    header_union: bool = False
+    #: skew guard: at most this many members merge into one union document;
+    #: larger header groups split into sub-unions (their identical features
+    #: re-link through the fuzzy pipeline). Bounds the per-union span list
+    #: the same way G2 bounds cluster size.
+    header_union_max_group: int = 1000
     # --- checkpointing ------------------------------------------------------
     checkpoint_dir: str | None = None
     run_id: str = "run0"

@@ -42,6 +42,84 @@ def header_union_groups(documents: DataFrame) -> DataFrame:
     )
 
 
+def header_union_merge(
+    documents: DataFrame, max_group: int = 1000
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-key pre-clustering (EP2 step 2): merge documents with identical
+    header-span sequences into one union document each, BEFORE blocking.
+
+    Reference: the headerunions fold — tables grouped by deterministic
+    headerId and reduced with Table.append
+    (/root/reference/takco/__init__.py:282-291,
+    /root/reference/takco/cluster/headerunions.py:4-9). The Spark shape is a
+    groupBy, not an iterative fold: member spans concatenate in (doc_id,
+    offset) order with offsets renumbered (the analog of Table.append's
+    row_offset bookkeeping, table.py:308-338).
+
+    Returns ``(membership, union_docs)``:
+
+    - membership: (doc_id, rep_id) — every input doc mapped to its union
+      representative (min member doc_id); headerless docs map to themselves;
+    - union_docs: (doc_id, spans) — one row per union/singleton, ready to
+      feed the ER pipeline in place of ``documents``. Final cluster labels
+      are expanded back to members through ``membership``.
+
+    Scale shape: singleton docs (the common case) pass through without
+    touching the explode/renumber path — only members of real groups (>1)
+    pay the merge shuffle, partitioned by rep_id. ``max_group`` bounds the
+    per-union span list (same role as the G2 cluster guard): larger header
+    groups split into sub-unions whose identical features re-link through
+    the fuzzy pipeline anyway.
+    """
+    hu = header_union_groups(documents)
+    keyed = hu.where(F.col("header_key").isNotNull())
+    w = Window.partitionBy("header_key").orderBy("doc_id")
+    sub = (
+        keyed.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_sub",
+                    ((F.col("_rk") - 1) / F.lit(int(max_group))).cast("long"))
+    )
+    reps = sub.groupBy("header_key", "_sub").agg(F.min("doc_id").alias("rep_id"))
+    membership = (
+        sub.join(reps, ["header_key", "_sub"])
+        .select("doc_id", "rep_id")
+        .unionByName(
+            hu.where(F.col("header_key").isNull())
+            .select("doc_id", F.col("doc_id").alias("rep_id"))
+        )
+    )
+    sizes = membership.groupBy("rep_id").agg(F.count("*").alias("_n"))
+    multi = membership.join(sizes.where(F.col("_n") > 1).select("rep_id"),
+                            "rep_id")
+    singles = documents.join(multi.select("doc_id"), "doc_id", "left_anti")
+
+    long = (
+        documents.join(multi, "doc_id")
+        .select("rep_id", "doc_id", F.explode("spans").alias("s"))
+    )
+    w2 = Window.partitionBy("rep_id").orderBy(
+        "doc_id", F.col("s.offset"), F.col("s.kind"), F.col("s.text"))
+    merged = (
+        long.withColumn("_pos", F.row_number().over(w2))
+        .groupBy("rep_id")
+        .agg(F.array_sort(F.collect_list(F.struct(
+            F.col("_pos").alias("pos"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        ))).alias("xs"))
+        .select(
+            F.col("rep_id").alias("doc_id"),
+            F.expr(
+                "transform(xs, x -> struct(x.kind as kind, x.text as text,"
+                " x.media_ref as media_ref, cast(x.pos as int) as offset))"
+            ).alias("spans"),
+        )
+    )
+    union_docs = singles.select("doc_id", "spans").unionByName(merged)
+    return membership, union_docs
+
+
 def majority_header(cells: DataFrame, group_col: str = "cluster_id",
                     value_col: str = "text") -> DataFrame:
     """Most frequent non-empty value per group, deterministic tie-break

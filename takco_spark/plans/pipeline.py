@@ -78,7 +78,32 @@ def run_pipeline(
     )
     stats: dict = {}
 
-    features = doc_text_features(documents, cfg.min_token_len)
+    # optional exact-key pre-clustering (EP2 step 2, reference headerunions
+    # fold): identical-header docs merge into union documents before
+    # blocking; the fuzzy stages run on the (smaller) union universe and
+    # members inherit their union's final cluster label.
+    membership = None
+    er_docs = documents
+    if cfg.header_union:
+        from takco_spark.operators.stitch import header_union_merge
+
+        membership, er_docs = header_union_merge(
+            documents, cfg.header_union_max_group)
+        # both sides are consumed multiple times (features + seg features +
+        # final expansion); the membership map is 2 narrow columns
+        membership = membership.persist()
+        er_docs = er_docs.persist()
+        hu_stats = membership.agg(
+            F.count("*").alias("docs"),
+            F.countDistinct("rep_id").alias("unions"),
+        ).first()
+        stats["header_union"] = {
+            "docs": hu_stats["docs"],
+            "unions": hu_stats["unions"],
+            "merged_away": hu_stats["docs"] - hu_stats["unions"],
+        }
+
+    features = doc_text_features(er_docs, cfg.min_token_len)
     # features feed both blocking and scoring — cache once, scan twice
     features = features.persist()
 
@@ -87,7 +112,7 @@ def run_pipeline(
         from takco_spark.operators.embedding import doc_mean_embeddings
 
         embeddings = doc_mean_embeddings(
-            documents, dim=cfg.embedding_dim, seed=cfg.seed,
+            er_docs, dim=cfg.embedding_dim, seed=cfg.seed,
             min_token_len=cfg.min_token_len,
         ).persist()
 
@@ -107,7 +132,7 @@ def run_pipeline(
             from takco_spark.operators.scoring import score_pairs_aligned
             from takco_spark.spans import doc_segment_features
 
-            seg_features = doc_segment_features(documents, cfg.min_token_len)
+            seg_features = doc_segment_features(er_docs, cfg.min_token_len)
             return score_pairs_aligned(pairs, seg_features, cfg)
         return score_pairs(
             pairs, features, cfg,
@@ -169,6 +194,16 @@ def run_pipeline(
             )
 
         components = ckpt.stage("components_refined", _refined)
+
+    if membership is not None:
+        # expand union labels back to every member document
+        components = (
+            membership.join(
+                components.select(F.col("doc_id").alias("rep_id"),
+                                  "cluster_id"),
+                "rep_id",
+            ).select("doc_id", "cluster_id")
+        )
 
     labelled = attach_labels(documents, components)
     return PipelineResult(

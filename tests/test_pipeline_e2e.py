@@ -235,3 +235,41 @@ def test_scrambler_docs_are_distinct(spark):
         assert sorted(s0) == sorted(s1)  # same token multiset, re-dealt
     with pytest.raises(ValueError):
         synth_segmented_documents(spark, 2, variants=2, scramblers=3)
+
+
+def test_header_union_same_clusters_fewer_pairs(spark, corpus):
+    """EP2 step 2 (reference headerunions fold, takco/__init__.py:282-291):
+    with cfg.header_union, exact-duplicate docs (identical header sequences
+    AND content) merge into union documents before blocking — the final
+    partition over ALL doc_ids is identical to the no-union run, while the
+    scored-pair count strictly drops (the duplicates' pairwise mass is
+    collapsed into their unions)."""
+    docs = corpus.select("doc_id", "spans")
+    aug = docs
+    for tag in ("dupA", "dupB"):
+        aug = aug.unionByName(
+            docs.orderBy("doc_id").limit(40).select(
+                F.concat(F.lit(tag + "-"), "doc_id").alias("doc_id"),
+                "spans",
+            )
+        )
+    aug = aug.persist()
+    aug.count()
+
+    res_plain = run_pipeline(spark, aug, _cfg())
+    res_hu = run_pipeline(spark, aug, _cfg(header_union=True))
+
+    def partition(res):
+        by: dict = {}
+        for r in res.components.collect():
+            by.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+        return {frozenset(v) for v in by.values()}
+
+    assert partition(res_hu) == partition(res_plain)
+    n_plain = res_plain.pairs_scored.count()
+    n_hu = res_hu.pairs_scored.count()
+    assert n_hu < n_plain, (n_hu, n_plain)
+    # >= 80: the 2×40 planted dup copies, plus whatever identical-header
+    # docs the synth corpus already contains (they merge too — the same
+    # reference semantic — and the partition above still matches)
+    assert res_hu.stats["header_union"]["merged_away"] >= 80
