@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship record-linkage pipeline on sf0.001.
 ``queries()`` registers one callable per implemented operator (SURVEY.md §2);
 ``oracle_sql()`` provides DuckDB-equivalent ANSI SQL for each SQL-expressible
-entry (rows-only checks for the genuinely non-SQL ops).
+entry (golden-pinned parquet oracles for the genuinely non-SQL ops).
 
 Column names AND types are aligned between both sides; every float that is
 an aggregate of many values is rounded identically on both sides so the
@@ -297,7 +297,7 @@ def q_emb_neardup(spark, sf_dir):
 def q_emb_neardup_lsh(spark, sf_dir):
     """The bucketed scale tier of embedding near-dup mining (hyperplane LSH
     → bounded bucket pairs → exact cosine filter). Exact-precision /
-    LSH-recall — rows-only (seeded hyperplanes are not SQL-expressible);
+    LSH-recall — golden-pinned (seeded hyperplanes are not SQL-expressible);
     recall-vs-exact asserted in pytest."""
     from takco_spark.operators.dedup import embedding_neardup_lsh
 
@@ -472,7 +472,7 @@ def q_salience(spark, sf_dir):
 
 def q_er_aligned_max1(spark, sf_dir):
     """A5 aligned scoring in 'max1' mode, ORACLED (the aligned path's
-    hash-verified variant — greedy stays rows-only). Segments are derived
+    hash-verified variant — greedy is golden-pinned). Segments are derived
     deterministically from the flat documents (seg = ascii(first char) % 3
     over distinct tokens, so DuckDB can reproduce them without positions);
     candidate pairs come from shared-token blocking; the pair score is the
@@ -595,7 +595,8 @@ def q_triple_flatten(spark, sf_dir):
     )
 
 
-# --- rows-only (non-SQL-expressible) ---------------------------------------
+# --- golden-pinned (non-SQL-expressible, deterministic; committed
+# expected-output parquet oracles — see _golden_sql) -------------------------
 
 def q_ngram_jaccard_capped(spark, sf_dir):
     """Char-5-gram Jaccard with the frequent-shingle cap (the scale path),
@@ -610,7 +611,7 @@ def q_ngram_jaccard_capped(spark, sf_dir):
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidate pairs (seeded permutations — no SQL
-    twin; validated in pytest against exact shingle Jaccard)."""
+    twin; golden-pinned oracle + pytest recall vs exact shingle Jaccard)."""
     return dedup.minhash_dedup_buckets(_t(spark, sf_dir, "documents"), k=5)
 
 
@@ -622,7 +623,7 @@ def q_simhash_pairs(spark, sf_dir):
 
 def q_er_pipeline_spans(spark, sf_dir):
     """Full span-structured pipeline (blocking cfg w/ salting + MinHash) —
-    rows-only: LSH banding is seeded-permutation-based."""
+    golden-pinned: LSH banding is seeded-permutation-based."""
     flat = _t(spark, sf_dir, "documents")
     docs = with_spans(flat, text_col="text", id_col="doc_id").select("doc_id", "spans")
     res = run_pipeline(spark, docs, PipelineConfig())
@@ -630,7 +631,7 @@ def q_er_pipeline_spans(spark, sf_dir):
 
 
 def q_knn_lsh(spark, sf_dir):
-    """Approximate ANN via random-hyperplane LSH (seeded planes — rows-only;
+    """Approximate ANN via random-hyperplane LSH (seeded planes — golden-pinned;
     recall vs brute force asserted in pytest)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity_search.knn_lsh(emb.where(F.col("vec_id") < 20), emb, k=3)
@@ -668,8 +669,8 @@ def aligned_corpus(spark, sf_dir):
 def q_er_pipeline_aligned(spark, sf_dir):
     """A5/G3 flagship variant: segment-level scoring + greedy 1:1 alignment
     + strict refinement on a deterministic sub-structured corpus (greedy
-    alignment is order-sequential — rows-only; e2e F1 asserted in pytest on
-    planted scrambler corpora). The sf dir scales the corpus size; the
+    alignment is order-sequential — golden-pinned; e2e F1 asserted in pytest
+    on planted scrambler corpora). The sf dir scales the corpus size; the
     corpus itself comes from a parquet fixture (see aligned_corpus)."""
     docs = aligned_corpus(spark, sf_dir)
     cfg = PipelineConfig(aligned=True, refine_threshold=0.6)
@@ -686,7 +687,7 @@ def q_er_pipeline_aligned_max1(spark, sf_dir):
     against DuckDB in Q:er_aligned_max1, and this exact config (max1 +
     refinement) is pinned at full pairwise F1 on planted scramblers in
     pytest (test_aligned_max1_with_refinement_full_f1) — parity with the
-    greedy path. Rows-only here (MinHash blocking is seeded)."""
+    greedy path. Golden-pinned here (MinHash blocking is seeded)."""
     docs = aligned_corpus(spark, sf_dir)
     cfg = PipelineConfig(aligned=True, align_mode="max1", refine_threshold=0.6)
     res = run_pipeline(spark, docs.select("doc_id", "spans"), cfg)

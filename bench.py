@@ -252,6 +252,14 @@ def _build_fixtures() -> None:
     spark = get_spark(app_name="bench-fixtures", master=f"local[{CPUS}]")
     _bench_corpus(spark, BENCH_DOCS, CPUS * 4).count()
     entrymod.aligned_corpus(spark, SF_DIR).count()
+    # aligned scaling-leg corpus (bigger than the headline fixture)
+    path = _aligned_bench_corpus_path(ALIGNED_SCALE_ENTITIES)
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        from takco_spark.datagen import synth_segmented_documents
+
+        synth_segmented_documents(
+            spark, ALIGNED_SCALE_ENTITIES, variants=3, scramblers=1, seed=42
+        ).repartition(CPUS * 4).write.mode("overwrite").parquet(path)
     stop_spark()
 
 
@@ -319,6 +327,58 @@ def _pipeline_run(cores: int, n_docs: int) -> None:
     res.components.write.format("noop").mode("overwrite").save()
     wall = time.time() - t0
     print(json.dumps({"cores": cores, "n_docs": n_docs, "wall_s": wall}))
+    spark.stop()
+
+
+def _aligned_bench_corpus_path(n_entities: int) -> str:
+    base = os.environ.get(
+        "SPARK_GRAFT_FIXTURE_DIR",
+        "/dev/shm/takco_fixtures" if os.path.isdir("/dev/shm")
+        else "/tmp/takco_fixtures",
+    )
+    # same naming scheme as __spark_entry__.aligned_corpus so the headline
+    # fixture is reused when the sizes coincide
+    return f"{base}/aligned_e{n_entities}_v3_s1_seed42"
+
+
+def _aligned_pipeline_run(cores: int, n_entities: int) -> None:
+    """Child-process entry: one fresh-JVM ALIGNED-max1 pipeline run (the
+    r4-verdict task-7 scaling leg — the aligned path measured above headline
+    fixture size); prints JSON. Same protocol as --pipeline-run: per-core
+    memory, materialized input, JVM + Python-worker warmup before the clock.
+    """
+    from pyspark.sql import functions as F
+
+    from takco_spark.config import PipelineConfig
+    from takco_spark.datagen import synth_segmented_documents
+    from takco_spark.functions.similarity import jaro_winkler_udf
+    from takco_spark.plans.pipeline import run_pipeline
+    from takco_spark.session import get_spark
+
+    _scale_memory_per_core(cores)
+    spark = get_spark(app_name=f"bench-aligned-{cores}",
+                      master=f"local[{cores}]")
+    path = _aligned_bench_corpus_path(n_entities)
+    if not os.path.exists(f"{path}/_SUCCESS"):  # normally pre-built
+        synth_segmented_documents(
+            spark, n_entities, variants=3, scramblers=1, seed=42
+        ).repartition(cores * 4).write.mode("overwrite").parquet(path)
+    docs = (spark.read.parquet(path).select("doc_id", "spans")
+            .repartition(cores * 4).persist())
+    n_docs = docs.count()
+    spark.range(10**6).count()
+    spark.range(cores * 1000, numPartitions=cores * 2).select(
+        jaro_winkler_udf(F.col("id").cast("string"),
+                         F.col("id").cast("string")).alias("w")
+    ).agg(F.sum("w")).collect()
+    t0 = time.time()
+    cfg = PipelineConfig(aligned=True, align_mode="max1",
+                         refine_threshold=0.6)
+    res = run_pipeline(spark, docs, cfg)
+    res.components.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    print(json.dumps({"cores": cores, "n_docs": n_docs,
+                      "n_entities": n_entities, "wall_s": wall}))
     spark.stop()
 
 
@@ -564,6 +624,42 @@ def _aligned_stage_run(cores: int) -> None:
     spark.stop()
 
 
+def _mem_ab(cores: int = 4, n_docs: int | None = None) -> None:
+    """A/B the 48g-vs-24g local heap claim (session.py's default) with
+    measured, dated evidence: interleaved [48g, 24g, 48g, 24g] fresh-JVM
+    pipeline runs at local[cores] on the scaling corpus. Persists
+    BENCH/mem_ab.json (rendered into BASELINE.md) — r4 verdict task 8: the
+    number was asserted from memory, now it is measured."""
+    n_docs = n_docs or BENCH_DOCS
+    prev = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    runs: list[dict] = []
+    try:
+        for mem in ("48g", "24g", "48g", "24g"):
+            os.environ["SPARK_GRAFT_DRIVER_MEM"] = mem
+            r = _fresh_run(cores, n_docs, timeout_s=1200.0)
+            if r is not None:
+                runs.append({"mem": mem, "wall_s": round(r[0], 2), **r[1]})
+                print(f"# mem A/B {mem}: {r[0]:.1f} s", file=sys.stderr)
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_DRIVER_MEM", None)
+        else:
+            os.environ["SPARK_GRAFT_DRIVER_MEM"] = prev
+    best = {}
+    for mem in ("48g", "24g"):
+        ws = [x["wall_s"] for x in runs if x["mem"] == mem]
+        if ws:
+            best[mem] = min(ws)
+    payload = {
+        "cores": cores, "n_docs": n_docs, "runs": runs, "best": best,
+        "run_date": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+    }
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / f"mem_ab_d{n_docs}.json").write_text(json.dumps(payload))
+    print(json.dumps(payload))
+
+
 def _cpu_ticks() -> tuple[int, int]:
     """(steal, total) jiffies from the aggregate /proc/stat line — the
     host-level noisy-neighbor signal (this sandbox is a VM; contention
@@ -577,17 +673,18 @@ def _cpu_ticks() -> tuple[int, int]:
     return steal, sum(v)
 
 
-def _fresh_run(cores: int, n_docs: int,
-               timeout_s: float) -> tuple[float, dict] | None:
+def _fresh_run(cores: int, n_docs: int, timeout_s: float,
+               mode: str = "--pipeline-run") -> tuple[float, dict] | None:
     """One fresh-JVM pipeline wall plus contemporaneous machine-noise
     metadata (host CPU-steal share and guest load during THIS leg, not a
     separate control window); None on timeout (deadline hit or a 6×-noise
     window) so a single bad run degrades to fewer reps instead of killing
-    the bench."""
+    the bench. ``mode`` selects the child entry (--pipeline-run n_docs, or
+    --aligned-pipeline-run n_entities)."""
     env = dict(os.environ)
     steal0, total0 = _cpu_ticks()
     proc = subprocess.Popen(
-        [sys.executable, str(REPO / "bench.py"), "--pipeline-run",
+        [sys.executable, str(REPO / "bench.py"), mode,
          str(cores), str(n_docs)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
     )
@@ -614,6 +711,55 @@ def _fresh_run(cores: int, n_docs: int,
         "load1": round(os.getloadavg()[0], 2),
     }
     return json.loads(lines[-1])["wall_s"], meta
+
+
+#: aligned-path scaling leg corpus size (entities; docs = 4×) — r4 verdict
+#: task 7: the max1+refine path measured well above the 12k-doc headline
+#: fixture, with its own banked N→4N number.
+ALIGNED_SCALE_ENTITIES = int(
+    os.environ.get("SPARK_GRAFT_ALIGNED_SCALE_ENTITIES", "30000"))
+#: measured per-doc walls for deadline estimates (c4: 35.3 s / 48k docs on
+#: 2026-08-18; c1 assumed ~4.5× the c4 wall until a real leg lands)
+_ALIGNED_EST_PER_DOC = {4: 0.80e-3, 1: 3.6e-3}
+
+
+def _run_aligned_scaling(deadline: float) -> dict | None:
+    """One [4N, 4N, N] block of the ALIGNED max1+refine pipeline at
+    ALIGNED_SCALE_ENTITIES — same protocol as the flagship scaling state
+    (fresh JVM per leg, per-core memory, min-wall estimator, per-leg noise
+    meta). Returns the summary dict or None if the budget didn't allow a
+    full (both-levels) block."""
+    lo, hi = SCALE_N, SCALE_N * 4
+    n_docs = ALIGNED_SCALE_ENTITIES * 4
+    walls: dict[int, list[float]] = {lo: [], hi: []}
+    meta: dict[int, list[dict]] = {lo: [], hi: []}
+    for c in (hi, hi, lo):  # 4N first — same rationale as _ScalingState
+        remaining = deadline - time.time()
+        est = _ALIGNED_EST_PER_DOC.get(c, 3.6e-3) * n_docs
+        if remaining < est * 1.2 + 30:
+            print(f"# aligned scaling leg c{c} skipped (budget)",
+                  file=sys.stderr)
+            continue
+        r = _fresh_run(c, ALIGNED_SCALE_ENTITIES, timeout_s=remaining,
+                       mode="--aligned-pipeline-run")
+        if r is not None:
+            walls[c].append(r[0])
+            meta[c].append(r[1])
+    if not walls[lo] or not walls[hi]:
+        return None
+    best = {c: min(ws) for c, ws in walls.items()}
+    dps = {c: n_docs / best[c] for c in best}
+    return {
+        "n_docs": n_docs,
+        "n_entities": ALIGNED_SCALE_ENTITIES,
+        "levels": [lo, hi],
+        "wall_s": {str(c): round(best[c], 2) for c in (lo, hi)},
+        "docs_per_sec": {str(c): round(dps[c], 1) for c in (lo, hi)},
+        "scaling_efficiency": round((dps[hi] / dps[lo]) / (hi // lo), 3),
+        "all_walls": {str(c): [round(w, 2) for w in ws]
+                      for c, ws in walls.items()},
+        "leg_meta": {str(c): m for c, m in meta.items()},
+    }
 
 
 class _ScalingState:
@@ -854,6 +1000,96 @@ def _stage_table_md() -> str:
     return "\n".join(lines) + f"\n\nRuns: {meta}.\n"
 
 
+def _mem_ab_md() -> str:
+    """Render every persisted 48g-vs-24g heap A/B (BENCH/mem_ab_d*.json,
+    written by ``bench.py --mem-ab``) — measured, dated evidence for the
+    session factory's local heap default, one block per corpus size."""
+    files = sorted((REPO / "BENCH").glob("mem_ab_d*.json"))
+    if not files:
+        return ("No measured heap A/B yet — generate with "
+                "`python bench.py --mem-ab 4`.\n")
+    parts = []
+    for p in files:
+        try:
+            d = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        rows = "\n".join(
+            f"| {r['mem']} | {r['wall_s']} | {r.get('steal_pct', '-')} | "
+            f"{r.get('load1', '-')} |" for r in d["runs"])
+        best = d.get("best", {})
+        delta = ""
+        if "48g" in best and "24g" in best:
+            delta = (f"\n**Min walls at {d['n_docs']} docs: 48g "
+                     f"{best['48g']} s vs 24g {best['24g']} s "
+                     f"(24g/48g = {round(best['24g'] / best['48g'], 2)}×)** —"
+                     " interleaved runs, min-wall estimator.")
+        parts.append(
+            f"Interleaved fresh-JVM pipeline runs, local[{d['cores']}], "
+            f"{d['n_docs']} docs, {d['run_date']}:\n\n"
+            "| heap | wall (s) | steal% | load1 |\n|---|---|---|---|\n"
+            + rows + delta + "\n")
+    return "\n".join(parts)
+
+
+def _aligned_md() -> str:
+    """Aligned-path section: scaling block (if measured this run) plus the
+    persisted per-stage attribution table (BENCH/aligned_stage_run_c*.json,
+    written by ``--aligned-stage-run``)."""
+    parts = []
+    al = RESULT.get("aligned_scaling")
+    if al:
+        lo, hi = al["levels"]
+        parts.append(f"""Same protocol as the flagship block (fresh JVM per
+leg, per-core memory, min-wall over [4N, 4N, N] legs) on the ALIGNED
+max1+refinement pipeline, {al['n_docs']} segmented docs
+({al['n_entities']} entities × 4 variants):
+
+| parallelism | wall (s) | docs/sec |
+|---|---|---|
+| local[{lo}] (N) | {al['wall_s'][str(lo)]} | {al['docs_per_sec'][str(lo)]} |
+| local[{hi}] (4N) | {al['wall_s'][str(hi)]} | {al['docs_per_sec'][str(hi)]} |
+
+**Aligned-path scaling efficiency N→4N: {al['scaling_efficiency']}.**
+All walls: {json.dumps(al['all_walls'])}; per-leg noise:
+{json.dumps(al['leg_meta'])}
+""")
+    else:
+        parts.append("(aligned scaling block not measured in this run — "
+                     "budget; see a prior BENCH result for the last banked "
+                     "number)\n")
+    runs = []
+    for p in sorted((REPO / "BENCH").glob("aligned_stage_run_c*.json")):
+        try:
+            runs.append(json.loads(p.read_text()))
+        except (ValueError, OSError):
+            continue
+    if runs:
+        r = runs[-1]
+        walls = r["stage_walls"]
+        counts = r.get("stage_counts", {})
+        parts.append(f"""
+Per-stage attribution of the aligned HEADLINE query (sf fixture,
+local[{r['cores']}], {r.get('run_date', '?')}, load {r.get('load_avg_1m')},
+steal {r.get('steal_pct')}% — regenerate with `bench.py
+--aligned-stage-run {r['cores']}`):
+
+| stage | wall (s) | rows out |
+|---|---|---|
+""" + "\n".join(
+            f"| {k} | {v} | {counts.get(_ALIGNED_COUNT_KEY.get(k, k), '-')} |"
+            for k, v in walls.items()
+        ) + "\n")
+    return "\n".join(parts)
+
+
+#: stage name → stage_counts key for the aligned attribution table
+_ALIGNED_COUNT_KEY = {
+    "blocking": "blocks", "max1_agg": "scored_pairs", "cc": "labels",
+    "refine": "-", "total": "-",
+}
+
+
 def _write_bench_md() -> None:
     scaling = RESULT.get("er_scaling") or {}
     queries = RESULT.get("queries") or {}
@@ -955,6 +1191,14 @@ The CC stage is dominated by a fixed number of driver-synchronized rounds
 headline scaling number above is whatever the shared machine allowed during
 the driver's run window (min-of-interleaved-blocks is the noise defense).
 
+## Aligned-path scaling & attribution (max1 + refinement)
+
+""" + _aligned_md() + """
+
+## Heap-size evidence (the 48g local default, measured)
+
+""" + _mem_ab_md() + f"""
+
 ## Headline query timings ({SF_DIR}, local[{CPUS}])
 
 Steady-state protocol: one untimed warmup pass over all queries (JVM JIT +
@@ -1015,6 +1259,13 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--aligned-stage-run":
         _aligned_stage_run(int(sys.argv[2]))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--aligned-pipeline-run":
+        _aligned_pipeline_run(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--mem-ab":
+        _build_fixtures()
+        _mem_ab(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+        return
 
     t0 = time.time()
     deadline = t0 + BUDGET - 60.0  # final-emission safety margin
@@ -1064,6 +1315,17 @@ def main() -> None:
     _update_scaling(state, hw)
     RESULT["phases_completed"].append("scaling_block_1")
     _emit()
+
+    # aligned-path scaling block (r4 verdict task 7): the max1+refine
+    # pipeline gets its own banked N→4N number on a corpus 10× the headline
+    # fixture. Runs after the flagship block (which is the binding
+    # criterion) and before optional extra flagship blocks.
+    aligned = _run_aligned_scaling(work_deadline)
+    if aligned is not None:
+        RESULT["aligned_scaling"] = aligned
+        RESULT["phases_completed"].append("aligned_scaling")
+        _write_bench_md()
+        _emit()
 
     # further scaling blocks while the budget allows — reps degrade first
     for b in range(1, BENCH_REPS):

@@ -119,13 +119,18 @@ def get_spark(
     # In local mode every "executor" thread lives in the driver JVM — the 1g
     # default heap causes GC collapse at high parallelism. Only effective for
     # the process's FIRST JVM (bench runs each parallelism level in a fresh
-    # process for exactly this reason). 48g default (measured): at 960k
-    # bench docs a 24g heap makes the shuffle-heavy stages spill/GC
-    # superlinearly at local[4] (blocking 177→111 s, pair self-join
-    # 175→81 s with ample heap). The scaling bench overrides this per
-    # child to 12 GB × cores (bench._scale_memory_per_core) — per-core
-    # memory held constant across parallelism levels, the way a real
-    # cluster's per-executor memory is.
+    # process for exactly this reason). 48g default: headroom for local[32]
+    # (1.5 GB/task-slot) at the largest test SF. Measured A/B
+    # (BENCH/mem_ab_d{600000,960000}.json, 2026-08-18, interleaved fresh-JVM
+    # runs at local[4]): 24g vs 48g is a wash at 960k docs (137 vs 140 s
+    # min-wall) and 24g is ~25% FASTER at 600k (151 vs 195 s) — the r3-era
+    # 24g spill cliff (blocking 177 s vs 111 s) no longer reproduces after
+    # the shuffle moved to /dev/shm and the AQE parallelism-floor fixes, so
+    # 48g is pure headroom, not a performance requirement. The scaling
+    # bench overrides this per child to 12 GB × cores, capped at ~70% of
+    # physical RAM (bench._scale_memory_per_core) — per-core memory held
+    # constant across parallelism levels, the way a real cluster's
+    # per-executor memory is.
     if master.startswith("local"):
         # local-mode-only: under spark-submit the driver/executor memory is
         # the submitter's call (--driver-memory/--executor-memory), and

@@ -100,3 +100,61 @@ def test_iceberg_probe_and_documented_downgrade(spark, tmp_path):
     # the Iceberg branch is real code, not a stub: dispatch methods exist
     assert callable(ckpt._write_stage) and callable(ckpt._read_stage)
     assert ckpt._table_ident("s").startswith("takco.stages.")
+
+
+def test_iceberg_write_branch_dispatch_pinned(spark, tmp_path):
+    """r4 verdict task 5: pin the Iceberg branch with a mocked catalog so a
+    writeTo/ident/marker regression is caught even though this sandbox has
+    no iceberg-spark-runtime jar. Asserts: namespace DDL issued, writeTo on
+    the token-qualified ident with createOrReplace, the _SUCCESS marker
+    mirrored through the real Hadoop FS (so exists()/resume still work),
+    and read dispatch through spark.read.table on the same ident."""
+    mgr = CheckpointManager(spark, str(tmp_path / "ice2"), run_id="r1",
+                            config_token="tok")
+    assert mgr.use_iceberg is False  # sandbox reality
+    mgr.use_iceberg = True           # force the cluster branch
+
+    log: list = []
+
+    class FakeWriter:
+        def createOrReplace(self):
+            log.append("createOrReplace")
+
+    class FakeDF:
+        def writeTo(self, ident):
+            log.append(("writeTo", ident))
+            return FakeWriter()
+
+    class FakeSparkWrite:
+        def sql(self, q):
+            log.append(("sql", q))
+
+    real_spark = mgr.spark
+    mgr.spark = FakeSparkWrite()
+    try:
+        mgr._write_stage(FakeDF(), "blocks")
+    finally:
+        mgr.spark = real_spark
+
+    assert ("writeTo", "takco.stages.blocks_tok") in log
+    assert "createOrReplace" in log
+    ddl = [q for kind, *rest in [x if isinstance(x, tuple) else (x,)
+           for x in log] if kind == "sql" for q in rest]
+    assert any("CREATE NAMESPACE" in q for q in ddl)
+    # marker mirrored via the real Hadoop FS → resume sees the stage
+    assert mgr.exists("blocks")
+
+    class FakeReader:
+        def table(self, ident):
+            log.append(("table", ident))
+            return "DF"
+
+    class FakeSparkRead:
+        read = FakeReader()
+
+    mgr.spark = FakeSparkRead()
+    try:
+        assert mgr._read_stage("blocks") == "DF"
+    finally:
+        mgr.spark = real_spark
+    assert ("table", "takco.stages.blocks_tok") in log
