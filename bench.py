@@ -199,6 +199,65 @@ def _control_effs(best: dict[str, float]) -> dict[str, float]:
     return effs
 
 
+def _control_probe(cores: int, n_docs: int = 600_000, n_tok: int = 26) -> float:
+    """One SHORT control-kernel wall at ``cores`` processes (~4 s at 4
+    procs, ~13 s at 1) — the machine's speed in THIS window. Run immediately
+    before and after every scaling leg (see _fresh_run): this sandbox's
+    degradation episodes hit multi-core runs hard while leaving single-core
+    legs untouched (measured 2026-08-18: back-to-back identical c4 pipeline
+    legs of 131 s and 444 s with steal ~0 and load nominal — steal/load do
+    NOT capture the mode, which behaves like co-tenant memory-bandwidth
+    contention), so a per-leg paired probe is the only way to attribute a
+    slow leg to the window it ran in."""
+    from multiprocessing import Process
+
+    per = n_docs // cores
+    t0 = time.time()
+    ps = [Process(target=_mp_kernel_worker, args=(per, n_tok, i))
+          for i in range(cores)]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    return round(time.time() - t0, 2)
+
+
+def _paired_normalized(walls: dict, meta: dict, levels: list[int],
+                       n_docs: int) -> dict | None:
+    """Machine-normalized N→4N efficiency from per-leg paired probes.
+
+    Each leg's wall is deflated by the machine-speed factor its own probes
+    measured: norm_wall = wall × (probe_best[level] / probe_leg), where
+    probe_leg is the mean of the leg's pre/post probe walls and
+    probe_best[level] is the fastest probe seen at that level anywhere in
+    the run (the best window the machine offered). A leg that ran in a 2×-
+    degraded window has probe_leg ≈ 2 × probe_best and is credited back to
+    quiet-window speed; legs in the best window are untouched. The RAW
+    min-of-legs efficiency stays the headline — this is the attribution
+    evidence that a weak raw number is the machine, not the engine."""
+    probes: dict[int, list[float]] = {}
+    for c in levels:
+        ms = meta.get(c) or []
+        ps = [sum(m["probe_walls"]) / len(m["probe_walls"])
+              for m in ms if m.get("probe_walls")]
+        if len(ps) != len(walls.get(c) or []) or not ps:
+            return None
+        probes[c] = ps
+    best_probe = {c: min(probes[c]) for c in levels}
+    norm = {
+        c: min(w * (best_probe[c] / p)
+               for w, p in zip(walls[c], probes[c]))
+        for c in levels
+    }
+    lo, hi = levels
+    dps = {c: n_docs / norm[c] for c in levels}
+    return {
+        "norm_wall_s": {str(c): round(norm[c], 2) for c in levels},
+        "probe_best_s": {str(c): round(best_probe[c], 2) for c in levels},
+        "paired_efficiency": round((dps[hi] / dps[lo]) / (hi // lo), 3),
+    }
+
+
 def _merge_controls(start: dict, end: dict) -> dict:
     """Fold a SECOND control pass (run after the scaling blocks) into the
     first: min-of-all-reps per level — the same estimator the pipeline legs
@@ -682,6 +741,7 @@ def _fresh_run(cores: int, n_docs: int, timeout_s: float,
     the bench. ``mode`` selects the child entry (--pipeline-run n_docs, or
     --aligned-pipeline-run n_entities)."""
     env = dict(os.environ)
+    probe_pre = _control_probe(cores)
     steal0, total0 = _cpu_ticks()
     proc = subprocess.Popen(
         [sys.executable, str(REPO / "bench.py"), mode,
@@ -709,6 +769,9 @@ def _fresh_run(cores: int, n_docs: int, timeout_s: float,
         "steal_pct": round(100.0 * (steal1 - steal0)
                            / max(total1 - total0, 1), 2),
         "load1": round(os.getloadavg()[0], 2),
+        # paired machine probes (same-core-count control kernel) bracketing
+        # the leg — see _control_probe / _paired_normalized
+        "probe_walls": [probe_pre, _control_probe(cores)],
     }
     return json.loads(lines[-1])["wall_s"], meta
 
@@ -749,7 +812,9 @@ def _run_aligned_scaling(deadline: float) -> dict | None:
         return None
     best = {c: min(ws) for c, ws in walls.items()}
     dps = {c: n_docs / best[c] for c in best}
+    paired = _paired_normalized(walls, meta, [lo, hi], n_docs)
     return {
+        **({"paired_normalized": paired} if paired is not None else {}),
         "n_docs": n_docs,
         "n_entities": ALIGNED_SCALE_ENTITIES,
         "levels": [lo, hi],
@@ -793,7 +858,8 @@ class _ScalingState:
         ws = self.walls.get(cores) or []
         per_doc = self.EST_WALL.get(cores, 1.0e-3)
         base = min(ws) if ws else per_doc * BENCH_DOCS
-        return base + 75.0  # JVM start + fixture read + warmup overhead
+        # JVM start + fixture read + warmup + paired probes (2 × ~4-13 s)
+        return base + 100.0
 
     def est_block(self) -> float:
         return sum(self._est_run(c) for c in self.pattern)
@@ -863,6 +929,10 @@ class _ScalingState:
                                    for c in self.levels}
             out["scaling_efficiency"] = round(
                 (dps[hi] / dps[lo]) / (hi // lo), 3)
+            paired = _paired_normalized(self.walls, self.meta,
+                                        self.levels, BENCH_DOCS)
+            if paired is not None:
+                out["paired_normalized"] = paired
         return out
 
 
@@ -1051,6 +1121,7 @@ max1+refinement pipeline, {al['n_docs']} segmented docs
 | local[{hi}] (4N) | {al['wall_s'][str(hi)]} | {al['docs_per_sec'][str(hi)]} |
 
 **Aligned-path scaling efficiency N→4N: {al['scaling_efficiency']}.**
+{_paired_md(al.get('paired_normalized'))}
 All walls: {json.dumps(al['all_walls'])}; per-leg noise:
 {json.dumps(al['leg_meta'])}
 """)
@@ -1088,6 +1159,27 @@ _ALIGNED_COUNT_KEY = {
     "blocking": "blocks", "max1_agg": "scored_pairs", "cc": "labels",
     "refine": "-", "total": "-",
 }
+
+
+def _paired_md(paired: dict | None) -> str:
+    if not paired:
+        return ""
+    return (
+        f"**Paired-probe normalized efficiency: "
+        f"{paired['paired_efficiency']}** — every leg is bracketed by a "
+        "same-core-count no-Spark control probe (~4-13 s of the bandwidth-"
+        "bound MinHash kernel, run immediately before and after the leg); a "
+        "leg's wall is deflated by probe_leg / probe_best[level] before the "
+        "min, crediting legs that ran in degraded windows back to the best "
+        "window the machine offered THIS run. Motivation (measured "
+        "2026-08-18): back-to-back identical c4 legs of 131 s vs 444 s with "
+        "steal ≈ 0 and nominal load — the degradation mode (co-tenant memory "
+        "bandwidth) is invisible to steal/load and hits multi-core legs "
+        "only, which is exactly the asymmetry that poisons a raw N→4N "
+        "ratio. Normalized walls: "
+        f"{json.dumps(paired['norm_wall_s'])}; best probes per level: "
+        f"{json.dumps(paired['probe_best_s'])}.\n"
+    )
 
 
 def _write_bench_md() -> None:
@@ -1129,7 +1221,7 @@ section and the escape hatch $SPARK_GRAFT_DRIVER_MEM).
 
 **Scaling efficiency N→4N: {scaling['scaling_efficiency']}** (target ≥ 0.8;
 efficiency = (docs_per_sec[4N] / docs_per_sec[N]) / 4).
-
+{_paired_md(scaling.get('paired_normalized'))}
 All runs: {json.dumps(scaling['all_walls'])}
 
 Per-leg machine noise, measured DURING each leg (host CPU-steal share of

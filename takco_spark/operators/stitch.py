@@ -73,11 +73,23 @@ def header_union_merge(
     """
     hu = header_union_groups(documents)
     keyed = hu.where(F.col("header_key").isNotNull())
-    w = Window.partitionBy("header_key").orderBy("doc_id")
-    sub = (
-        keyed.withColumn("_rk", F.row_number().over(w))
-        .withColumn("_sub",
-                    ((F.col("_rk") - 1) / F.lit(int(max_group))).cast("long"))
+    # Sub-group assignment is HASH-based, never a row_number window over
+    # header_key: at web scale one hot header ("name | value") can have 10^8
+    # members, and a global per-key window serializes that key into a single
+    # task before the split can help. pmod(xxhash64(doc_id), ceil(n/cap))
+    # buckets each member independently (group sizes ~cap in expectation
+    # rather than exactly cap — the docstring's re-link argument covers the
+    # variance); the count join is one map-side-combined agg.
+    counts = keyed.groupBy("header_key").agg(F.count("*").alias("_n"))
+    sub = keyed.join(counts, "header_key").withColumn(
+        "_sub",
+        F.pmod(
+            F.xxhash64("doc_id"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("_n") / F.lit(int(max_group))).cast("long"),
+            ),
+        ),
     )
     reps = sub.groupBy("header_key", "_sub").agg(F.min("doc_id").alias("rep_id"))
     membership = (
