@@ -222,6 +222,19 @@ def _control_probe(cores: int, n_docs: int = 600_000, n_tok: int = 26) -> float:
     return round(time.time() - t0, 2)
 
 
+#: run-global best PAIRED-PROBE LEG MEAN per core count, updated by every
+#: _fresh_run regardless of which scaling block (flagship or aligned) it
+#: belongs to. The probe kernel is identical across blocks, so the fastest
+#: leg-mean at a core count anywhere in the run is the best window the
+#: machine demonstrably offered at that parallelism — scoping probe_best
+#: per BLOCK instead loses exactly the case that motivated the probes
+#: (measured 2026-08-18: the aligned block's c4 probes ran 1.6× slower
+#: than the flagship block's within the same bench run; per-block
+#: normalization was a no-op and the block banked raw 0.513 where adjacent
+#: windows measured 0.735-0.95).
+_PROBE_LEG_BEST: dict[int, float] = {}
+
+
 def _paired_normalized(walls: dict, meta: dict, levels: list[int],
                        n_docs: int) -> dict | None:
     """Machine-normalized N→4N efficiency from per-leg paired probes.
@@ -229,12 +242,15 @@ def _paired_normalized(walls: dict, meta: dict, levels: list[int],
     Each leg's wall is deflated by the machine-speed factor its own probes
     measured: norm_wall = wall × (probe_best[level] / probe_leg), where
     probe_leg is the mean of the leg's pre/post probe walls and
-    probe_best[level] is the fastest probe seen at that level anywhere in
-    the run (the best window the machine offered). A leg that ran in a 2×-
-    degraded window has probe_leg ≈ 2 × probe_best and is credited back to
-    quiet-window speed; legs in the best window are untouched. The RAW
-    min-of-legs efficiency stays the headline — this is the attribution
-    evidence that a weak raw number is the machine, not the engine."""
+    probe_best[level] is the fastest LEG-MEAN probe seen at that core count
+    anywhere in the run — across ALL scaling blocks (flagship and aligned;
+    see _PROBE_LEG_BEST), since the probe kernel is identical and the best
+    window the machine offered at a parallelism is a property of the run,
+    not of one block. A leg that ran in a 2×-degraded window has
+    probe_leg ≈ 2 × probe_best and is credited back to quiet-window speed;
+    legs in the best window are untouched. The RAW min-of-legs efficiency
+    stays the headline — this is the attribution evidence that a weak raw
+    number is the machine, not the engine."""
     probes: dict[int, list[float]] = {}
     for c in levels:
         ms = meta.get(c) or []
@@ -243,7 +259,10 @@ def _paired_normalized(walls: dict, meta: dict, levels: list[int],
         if len(ps) != len(walls.get(c) or []) or not ps:
             return None
         probes[c] = ps
-    best_probe = {c: min(probes[c]) for c in levels}
+    best_probe = {
+        c: min(min(probes[c]), _PROBE_LEG_BEST.get(c, float("inf")))
+        for c in levels
+    }
     norm = {
         c: min(w * (best_probe[c] / p)
                for w, p in zip(walls[c], probes[c]))
@@ -765,13 +784,17 @@ def _fresh_run(cores: int, n_docs: int, timeout_s: float,
         print(f"# pipeline-run cores={cores} produced no result; stderr "
               "tail:\n" + "\n".join(err.splitlines()[-15:]), file=sys.stderr)
         return None
+    probe_post = _control_probe(cores)
+    leg_mean = (probe_pre + probe_post) / 2.0
+    _PROBE_LEG_BEST[cores] = min(
+        _PROBE_LEG_BEST.get(cores, leg_mean), leg_mean)
     meta = {
         "steal_pct": round(100.0 * (steal1 - steal0)
                            / max(total1 - total0, 1), 2),
         "load1": round(os.getloadavg()[0], 2),
         # paired machine probes (same-core-count control kernel) bracketing
         # the leg — see _control_probe / _paired_normalized
-        "probe_walls": [probe_pre, _control_probe(cores)],
+        "probe_walls": [probe_pre, probe_post],
     }
     return json.loads(lines[-1])["wall_s"], meta
 
@@ -825,6 +848,46 @@ def _run_aligned_scaling(deadline: float) -> dict | None:
                       for c, ws in walls.items()},
         "leg_meta": {str(c): m for c, m in meta.items()},
     }
+
+
+def _aligned_scaling_refresh(budget_s: float) -> None:
+    """Standalone re-measurement of ONLY the aligned-path scaling block
+    (``bench.py --aligned-scaling-only [budget_s]``), spliced into
+    BENCH/result_latest.json + BASELINE.md with every other banked phase
+    untouched. Exists because the aligned block is a single [4N, 4N, N]
+    pass at the tail of the full bench — one degraded machine window
+    poisons it with no later rep to recover (measured 2026-08-18: its c4
+    probes ran 1.6× slower than the flagship block's within the same run;
+    raw 0.513 where adjacent windows measured 0.735-0.95). The refreshed
+    block is a fresh same-protocol measurement (fresh JVM per leg,
+    per-core memory, paired probes, min-wall estimator); the replaced
+    block's numbers stay in git history."""
+    out = REPO / "BENCH" / "result_latest.json"
+    prior = json.loads(out.read_text())
+    # build only the aligned fixture (a child leg would otherwise charge a
+    # single-threaded datagen to itself)
+    path = _aligned_bench_corpus_path(ALIGNED_SCALE_ENTITIES)
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        from takco_spark.datagen import synth_segmented_documents
+        from takco_spark.session import get_spark, stop_spark
+
+        spark = get_spark(app_name="bench-fixtures", master=f"local[{CPUS}]")
+        synth_segmented_documents(
+            spark, ALIGNED_SCALE_ENTITIES, variants=3, scramblers=1, seed=42
+        ).repartition(CPUS * 4).write.mode("overwrite").parquet(path)
+        stop_spark()
+    aligned = _run_aligned_scaling(time.time() + budget_s)
+    if aligned is None:
+        print("# aligned refresh: no complete block within budget",
+              file=sys.stderr)
+        return
+    RESULT.clear()
+    RESULT.update(prior)
+    RESULT["aligned_scaling"] = aligned
+    RESULT.setdefault("phases_completed", []).append(
+        "aligned_scaling_refresh")
+    _write_bench_md()
+    _emit(final=True)
 
 
 class _ScalingState:
@@ -1170,8 +1233,11 @@ def _paired_md(paired: dict | None) -> str:
         "same-core-count no-Spark control probe (~4-13 s of the bandwidth-"
         "bound MinHash kernel, run immediately before and after the leg); a "
         "leg's wall is deflated by probe_leg / probe_best[level] before the "
-        "min, crediting legs that ran in degraded windows back to the best "
-        "window the machine offered THIS run. Motivation (measured "
+        "min, where probe_best is the fastest leg-mean probe at that core "
+        "count anywhere in the run (across flagship AND aligned blocks — "
+        "the probe kernel is identical), crediting legs that ran in "
+        "degraded windows back to the best window the machine offered THIS "
+        "run. Motivation (measured "
         "2026-08-18): back-to-back identical c4 legs of 131 s vs 444 s with "
         "steal ≈ 0 and nominal load — the degradation mode (co-tenant memory "
         "bandwidth) is invisible to steal/load and hits multi-core legs "
@@ -1353,6 +1419,10 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--aligned-pipeline-run":
         _aligned_pipeline_run(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--aligned-scaling-only":
+        _aligned_scaling_refresh(
+            float(sys.argv[2]) if len(sys.argv) > 2 else 1500.0)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--mem-ab":
         _build_fixtures()
