@@ -864,6 +864,25 @@ def _aligned_scaling_refresh(budget_s: float) -> None:
     block's numbers stay in git history."""
     out = REPO / "BENCH" / "result_latest.json"
     prior = json.loads(out.read_text())
+    if prior.get("partial") or "headline" not in prior.get(
+            "phases_completed", []):
+        # the on-disk file is a partial skeleton (an interrupted full run's
+        # incremental emission clobbered it — observed 2026-08-18: a killed
+        # fixtures-phase run left {fixtures} only, and the splice inherited
+        # it, dropping every banked phase). Fall back to the last committed
+        # evidence file so the splice always lands on a complete run.
+        try:
+            committed = subprocess.run(
+                ["git", "-C", str(REPO), "show",
+                 "HEAD:BENCH/result_latest.json"],
+                capture_output=True, text=True, timeout=30)
+            if committed.returncode == 0:
+                prior = json.loads(committed.stdout)
+                print("# aligned refresh: on-disk result was partial; "
+                      "splicing into HEAD's committed result instead",
+                      file=sys.stderr)
+        except Exception:
+            pass  # keep the on-disk prior; numbers stay in git history
     # build only the aligned fixture (a child leg would otherwise charge a
     # single-threaded datagen to itself)
     path = _aligned_bench_corpus_path(ALIGNED_SCALE_ENTITIES)
