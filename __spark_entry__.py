@@ -31,12 +31,48 @@ from takco_spark.plans.pipeline import run_pipeline
 from takco_spark.spans import with_spans
 
 
+_PYFILES_SHIPPED: set[str] = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Make ``takco_spark`` importable by executor Python workers of a
+    session THIS module did not build. ``get_spark`` exports PYTHONPATH
+    before the JVM launches, and a driver harness running from the repo root
+    gets the package via the workers' cwd — but a bare session built from
+    any other cwd has neither, and every Arrow-UDF stage dies with
+    ModuleNotFoundError. Shipping the package as a zip via ``addPyFile`` is
+    cwd- and env-independent and reaches workers forked after the call
+    (idempotent per Spark application)."""
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _PYFILES_SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg = Path(__file__).resolve().parent / "takco_spark"
+    zpath = Path(tempfile.gettempdir()) / "takco_spark_pyfiles.zip"
+    newest_src = max(p.stat().st_mtime for p in pkg.rglob("*.py"))
+    if not zpath.exists() or zpath.stat().st_mtime < newest_src:
+        tmp = zpath.with_suffix(f".{os.getpid()}.tmp")
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in sorted(pkg.rglob("*.py")):
+                z.write(p, f"takco_spark/{p.relative_to(pkg)}")
+        tmp.rename(zpath)  # atomic: concurrent processes see a whole zip
+    try:
+        sc.addPyFile(str(zpath))
+    except Exception:
+        pass  # e.g. already added by a previous process sharing the JVM
+    _PYFILES_SHIPPED.add(app)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # widen_input: the sf* test tables are single small parquet files (one
     # scan partition) — without widening, every narrow stage before the
     # first shuffle runs serial regardless of core count. No-op at scale.
     from takco_spark.sources.readers import widen_input
 
+    _ensure_workers_can_import(spark)
     return widen_input(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
@@ -657,6 +693,7 @@ def aligned_corpus(spark, sf_dir):
         "/dev/shm/takco_fixtures" if os.path.isdir("/dev/shm") else "/tmp/takco_fixtures",
     )
     path = f"{base}/aligned_e{n_entities}_v3_s1_seed42"
+    _ensure_workers_can_import(spark)
     if not os.path.exists(f"{path}/_SUCCESS"):
         synth_segmented_documents(
             spark, n_entities, variants=3, scramblers=1, seed=42
