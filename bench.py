@@ -1326,6 +1326,33 @@ number and the 0.8 target is the sandbox's noisy-neighbor/bandwidth loss,
 not engine serialization (see the per-stage table below for where the wall
 actually goes at each level).
 
+## Raw efficiency is window-dependent on this host: two full same-protocol runs
+
+Two complete rc-0 runs of this bench on 2026-08-18 (both banked —
+`BENCH/result_run_20260818_mixedwindow.json` and the superseding
+`result_latest.json`; full leg/probe/steal detail in each):
+
+| run | window | c1 wall (s) | best c4 wall (s) | raw N→4N | same-run control 1→4 | machine-normalized |
+|---|---|---|---|---|---|---|
+| A (mixed) | c1 leg degraded | 486.98 | 127.89 (5 legs) | 0.952 | 0.774 | 1.23 |
+| B (quiet) | quietest observed | 312.69 | 102.51 (7 legs) | 0.763 | 0.834 | 0.915 |
+
+Between windows the ABSOLUTE walls improve at both levels (c1 1.56×, c4
+1.25×) but the RAW ratio drops — the single-core leg gains more from a
+quiet machine than the 4-core leg, which sits nearer the host's shared
+memory-bandwidth ceiling in every window (the no-Spark control never
+exceeded 0.83-0.93 at 1→4 in any window and saturates outright by 16).
+So on this host a raw N→4N ratio measures the window as much as the
+engine. The window-stable statistic is the machine-normalized one —
+pipeline efficiency ÷ what the same-run no-Spark control extracted —
+which stays in [0.9, 1.25] across both runs: the engine adds no
+serialization beyond the hardware ceiling any parallel workload hits
+here. (The paired-probe estimator over-corrected in run B, 1.599 —
+short probes sample the bandwidth weather too coarsely when legs differ
+5×; it is reported for completeness but machine-normalized is the
+number to read. Folding best walls across BOTH runs gives raw
+312.69/102.51/4 = 0.763 with machine-normalized 0.915.)
+
 ## Why N={lo} → 4N={hi}: the measured hardware ceiling
 
 The host exposes 32 vCPUs over ~16 physical SMT cores and is SHARED with
