@@ -1206,6 +1206,13 @@ max1+refinement pipeline, {al['n_docs']} segmented docs
 {_paired_md(al.get('paired_normalized'))}
 All walls: {json.dumps(al['all_walls'])}; per-leg noise:
 {json.dumps(al['leg_meta'])}
+
+The aligned path shows the same window-dependence as the flagship block
+(see the cross-run section above). Measured 2026-08-18, same protocol:
+mixed window c1 241.69 / c4 65.72 → raw 0.919 (paired 1.043,
+`result_run_20260818_mixedwindow.json`); quietest window c1 148.11 /
+c4 58.22 → raw 0.636 — absolute walls improve at both levels, the raw
+ratio tracks how hard the window hit the c1 leg.
 """)
     else:
         parts.append("(aligned scaling block not measured in this run — "
