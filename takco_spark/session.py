@@ -37,6 +37,16 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # Sane parquet scan granularity for wide scans.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # zstd shuffle/spill compression (default lz4): the blocking/pair
+    # stages shuffle tens of millions of short text keys, and at scale the
+    # shuffle bytes — network + disk on a cluster, shared memory bandwidth
+    # here — are the contended resource, so a denser codec beats a faster
+    # one. Measured A/B (2026-08-19, 600k docs, interleaved fresh-JVM
+    # runs): local[4] zstd n=7 all in 95.6-101.8 s vs lz4 n=6 min 98.0 but
+    # HALF the runs degraded to 126-131 s (fewer bytes through the
+    # bandwidth-weather window); local[1] zstd pays ~1.7% CPU (327.3 vs
+    # 321.7 s, one pair — within noise).
+    "spark.io.compression.codec": "zstd",
     "spark.sql.session.timeZone": "UTC",
     # Permissive (non-ANSI) SQL semantics: bad casts → null, not job-killing
     # exceptions — the right behavior for dirty web-scale text input (Spark 4
