@@ -1208,11 +1208,15 @@ All walls: {json.dumps(al['all_walls'])}; per-leg noise:
 {json.dumps(al['leg_meta'])}
 
 The aligned path shows the same window-dependence as the flagship block
-(see the cross-run section above). Measured 2026-08-18, same protocol:
-mixed window c1 241.69 / c4 65.72 → raw 0.919 (paired 1.043,
-`result_run_20260818_mixedwindow.json`); quietest window c1 148.11 /
-c4 58.22 → raw 0.636 — absolute walls improve at both levels, the raw
-ratio tracks how hard the window hit the c1 leg.
+(see the cross-run section above). Same protocol across the three banked
+runs: run A (08-18, mixed window) c1 241.69 / c4 65.72 → raw 0.919
+(paired 1.043); run B (08-18, quietest window) c1 148.11 / c4 58.22 →
+raw 0.636; run C (08-19, zstd) c1 188.38 / c4 76.58 → raw 0.615 —
+absolute walls improve with quieter windows at both levels, the raw
+ratio tracks how hard the window hit the c1 leg. The aligned block is a
+single [4N, 4N, N] pass (one c1 sample, no fill phase), so it samples
+the weather once where the flagship folds 5-7 c4 legs — its raw number
+is strictly noisier than the flagship's.
 """)
     else:
         parts.append("(aligned scaling block not measured in this run — "
@@ -1333,32 +1337,40 @@ number and the 0.8 target is the sandbox's noisy-neighbor/bandwidth loss,
 not engine serialization (see the per-stage table below for where the wall
 actually goes at each level).
 
-## Raw efficiency is window-dependent on this host: two full same-protocol runs
+## Raw efficiency is window-dependent on this host: three full same-protocol runs
 
-Two complete rc-0 runs of this bench on 2026-08-18 (both banked —
-`BENCH/result_run_20260818_mixedwindow.json` and the superseding
+Three complete rc-0 runs of this bench (all banked —
+`BENCH/result_run_20260818_mixedwindow.json`,
+`BENCH/result_run_20260818_quietwindow.json`, and the superseding
 `result_latest.json`; full leg/probe/steal detail in each):
 
-| run | window | c1 wall (s) | best c4 wall (s) | raw N→4N | same-run control 1→4 | machine-normalized |
+| run | date / engine | c1 wall (s) | best c4 wall (s) | raw N→4N | same-run control 1→4 | machine-normalized |
 |---|---|---|---|---|---|---|
-| A (mixed) | c1 leg degraded | 486.98 | 127.89 (5 legs) | 0.952 | 0.774 | 1.23 |
-| B (quiet) | quietest observed | 312.69 | 102.51 (7 legs) | 0.763 | 0.834 | 0.915 |
+| A (mixed window) | 08-18, lz4 shuffle | 486.98 | 127.89 (5 legs) | 0.952 | 0.774 | 1.23 |
+| B (quietest window) | 08-18, lz4 shuffle | 312.69 | 102.51 (7 legs) | 0.763 | 0.834 | 0.915 |
+| C | 08-19, zstd shuffle | 346.72 | 104.74 (6 legs) | **0.828** | 0.855 | 0.968 |
 
-Between windows the ABSOLUTE walls improve at both levels (c1 1.56×, c4
+Between A and B the ABSOLUTE walls improve at both levels (c1 1.56×, c4
 1.25×) but the RAW ratio drops — the single-core leg gains more from a
 quiet machine than the 4-core leg, which sits nearer the host's shared
 memory-bandwidth ceiling in every window (the no-Spark control never
 exceeded 0.83-0.93 at 1→4 in any window and saturates outright by 16).
 So on this host a raw N→4N ratio measures the window as much as the
-engine. The window-stable statistic is the machine-normalized one —
-pipeline efficiency ÷ what the same-run no-Spark control extracted —
-which stays in [0.9, 1.25] across both runs: the engine adds no
-serialization beyond the hardware ceiling any parallel workload hits
-here. (The paired-probe estimator over-corrected in run B, 1.599 —
-short probes sample the bandwidth weather too coarsely when legs differ
-5×; it is reported for completeness but machine-normalized is the
-number to read. Folding best walls across BOTH runs gives raw
-312.69/102.51/4 = 0.763 with machine-normalized 0.915.)
+engine. Two answers, both banked:
+
+1. **Engine-side**: run C moved shuffle compression to zstd after a
+   13-sample interleaved A/B (`BENCH/codec_ab.json`) showed denser
+   shuffle bytes immunize the c4 leg against the degradation mode (lz4
+   hit 126-131 s in half its c4 samples; zstd never left 95.6-101.8 s).
+   With the contended bytes reduced, raw N→4N clears the 0.8 target
+   in-run: **0.828**.
+2. **Statistic-side**: the window-stable number is machine-normalized
+   efficiency — pipeline efficiency ÷ what the same-run no-Spark control
+   extracted — which stays in [0.9, 1.25] across all three runs: the
+   engine adds no serialization beyond the hardware ceiling any parallel
+   workload hits here. (The paired-probe estimator over-corrected in
+   run B, 1.599 — short probes sample the bandwidth weather too coarsely
+   when legs differ 5×; machine-normalized is the number to read.)
 
 ## Why N={lo} → 4N={hi}: the measured hardware ceiling
 
