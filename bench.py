@@ -572,12 +572,18 @@ def _stage_run(cores: int, n_docs: int) -> None:
     spark.stop()
 
 
-def _aligned_stage_run(cores: int) -> None:
+def _aligned_stage_run(cores: int, n_entities: int | None = None) -> None:
     """Child-process entry: ONE fresh-JVM run of the er_pipeline_aligned_max1
     headline path with per-stage walls (seg_features / features / blocking /
     cand_pairs / seg_scores / max1_agg / cc / refine) — the attribution
     evidence the r4 verdict asked for (where do the aligned headline's
     seconds go). Prints JSON and persists to BENCH/aligned_stage_run_c*.json.
+
+    With ``n_entities`` given, it attributes a SCALING leg instead: same
+    corpus + per-core-memory protocol as ``--aligned-pipeline-run``, so a
+    c1-vs-c4 pair of these runs decomposes the aligned block's N→4N ratio
+    stage by stage (which stages scale with cores, which are fixed-cost).
+    Persisted as BENCH/aligned_stage_run_c{cores}_e{n_entities}.json.
     """
     import __spark_entry__ as entrymod
     from pyspark.sql import functions as F
@@ -597,16 +603,30 @@ def _aligned_stage_run(cores: int) -> None:
     from takco_spark.session import get_spark
     from takco_spark.spans import doc_segment_features, doc_text_features
 
-    # NOTE: no _scale_memory_per_core here — this run attributes the
-    # HEADLINE phase's wall, so it must use the headline session's exact
+    # NOTE: no _scale_memory_per_core in headline mode — this run attributes
+    # the HEADLINE phase's wall, so it must use the headline session's exact
     # memory config (48g default at local[32]); the per-core scaling is the
     # N→4N protocol's concern. (First version of this run scaled to
     # 12g×32=384g > physical RAM and measured a 46 s features stage that is
-    # 1.5 s under the real headline config.)
+    # 1.5 s under the real headline config.) Scaling-leg mode (n_entities)
+    # mirrors --aligned-pipeline-run: per-core memory, bench corpus.
+    if n_entities is not None:
+        _scale_memory_per_core(cores)
     spark = get_spark(app_name=f"aligned-stage-{cores}",
                       master=f"local[{cores}]")
-    docs = entrymod.aligned_corpus(spark, SF_DIR).select(
-        "doc_id", "spans").persist()
+    if n_entities is not None:
+        from takco_spark.datagen import synth_segmented_documents
+
+        path = _aligned_bench_corpus_path(n_entities)
+        if not os.path.exists(f"{path}/_SUCCESS"):  # normally pre-built
+            synth_segmented_documents(
+                spark, n_entities, variants=3, scramblers=1, seed=42
+            ).repartition(cores * 4).write.mode("overwrite").parquet(path)
+        docs = (spark.read.parquet(path).select("doc_id", "spans")
+                .repartition(cores * 4).persist())
+    else:
+        docs = entrymod.aligned_corpus(spark, SF_DIR).select(
+            "doc_id", "spans").persist()
     n_docs = docs.count()
     spark.range(10**6).count()
     spark.range(cores * 1000, numPartitions=cores * 2).select(
@@ -685,6 +705,7 @@ def _aligned_stage_run(cores: int) -> None:
     t["total"] = round(sum(v for v in t.values()), 2)
     payload = {
         "cores": cores, "sf_dir": SF_DIR, "stage_walls": t,
+        **({"n_entities": n_entities} if n_entities is not None else {}),
         "stage_counts": counts,
         "cc_iterations": box.get("cc_iterations"),
         "blocking_stats": box.get("stats"),
@@ -696,7 +717,8 @@ def _aligned_stage_run(cores: int) -> None:
     }
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / f"aligned_stage_run_c{cores}.json").write_text(
+    suffix = f"_e{n_entities}" if n_entities is not None else ""
+    (bench_dir / f"aligned_stage_run_c{cores}{suffix}.json").write_text(
         json.dumps(payload))
     print(json.dumps(payload))
     spark.stop()
@@ -1275,12 +1297,13 @@ runs carry more than one c1 sample when the budget allows.
         parts.append("(aligned scaling block not measured in this run — "
                      "budget; see a prior BENCH result for the last banked "
                      "number)\n")
-    runs = []
+    runs, scale_runs = [], []
     for p in sorted((REPO / "BENCH").glob("aligned_stage_run_c*.json")):
         try:
-            runs.append(json.loads(p.read_text()))
+            r = json.loads(p.read_text())
         except (ValueError, OSError):
             continue
+        (scale_runs if r.get("n_entities") else runs).append(r)
     if runs:
         r = runs[-1]
         walls = r["stage_walls"]
@@ -1297,6 +1320,32 @@ steal {r.get('steal_pct')}% — regenerate with `bench.py
             f"| {k} | {v} | {counts.get(_ALIGNED_COUNT_KEY.get(k, k), '-')} |"
             for k, v in walls.items()
         ) + "\n")
+    # stage-level N→4N decomposition: a c1/c4 pair on the scaling corpus
+    by_cores = {r["cores"]: r for r in scale_runs
+                if r.get("n_entities") == ALIGNED_SCALE_ENTITIES}
+    if 1 in by_cores and 4 in by_cores:
+        r1, r4 = by_cores[1], by_cores[4]
+        stages = [k for k in r1["stage_walls"] if k != "total"]
+        rows = "\n".join(
+            f"| {k} | {r1['stage_walls'].get(k, '-')} "
+            f"| {r4['stage_walls'].get(k, '-')} "
+            f"| {round(r1['stage_walls'][k] / r4['stage_walls'][k], 2)}× |"
+            for k in stages
+            if r4["stage_walls"].get(k) and r1["stage_walls"].get(k))
+        t1, t4 = r1["stage_walls"]["total"], r4["stage_walls"]["total"]
+        parts.append(f"""
+Stage-level N→4N decomposition of the ALIGNED scaling leg
+({r1.get('n_entities')} entities × 4 variants, per-core-memory protocol;
+c1: {r1.get('run_date', '?')} load {r1.get('load_avg_1m')} steal
+{r1.get('steal_pct')}%; c4: {r4.get('run_date', '?')} load
+{r4.get('load_avg_1m')} steal {r4.get('steal_pct')}% — regenerate with
+`bench.py --aligned-stage-run {{1,4}} {r1.get('n_entities')}`):
+
+| stage | c1 wall (s) | c4 wall (s) | speedup |
+|---|---|---|---|
+{rows}
+| total | {t1} | {t4} | {round(t1 / t4, 2)}× |
+""")
     return "\n".join(parts)
 
 
@@ -1533,7 +1582,8 @@ def main() -> None:
         _stage_run(int(sys.argv[2]), int(sys.argv[3]))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--aligned-stage-run":
-        _aligned_stage_run(int(sys.argv[2]))
+        _aligned_stage_run(int(sys.argv[2]),
+                           int(sys.argv[3]) if len(sys.argv) > 3 else None)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--aligned-pipeline-run":
         _aligned_pipeline_run(int(sys.argv[2]), int(sys.argv[3]))
