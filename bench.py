@@ -250,7 +250,19 @@ def _paired_normalized(walls: dict, meta: dict, levels: list[int],
     probe_leg ≈ 2 × probe_best and is credited back to quiet-window speed;
     legs in the best window are untouched. The RAW min-of-legs efficiency
     stays the headline — this is the attribution evidence that a weak raw
-    number is the machine, not the engine."""
+    number is the machine, not the engine.
+
+    The probes are point samples bracketing a multi-minute leg, so they can
+    overstate the degradation the leg itself actually experienced (the
+    window worsened just as the probe ran); the deflation then overcredits
+    and the paired efficiency can exceed 1, which is physically implausible
+    for this workload. Such a result attributes NOTHING and must not be
+    banked: the output carries ``credible`` (paired ≤ 1.15, a small
+    allowance for probe quantization) plus the per-level ``deflation``
+    actually applied to the selected leg, so a reader can see how much
+    credit normalization granted. Measured failure case (2026-08-19): a
+    240k-doc c1 leg whose probes hit 37 s against a 10-11 s quiet baseline
+    produced paired 2.09 — flagged, discarded, committed evidence kept."""
     probes: dict[int, list[float]] = {}
     for c in levels:
         ms = meta.get(c) or []
@@ -263,17 +275,20 @@ def _paired_normalized(walls: dict, meta: dict, levels: list[int],
         c: min(min(probes[c]), _PROBE_LEG_BEST.get(c, float("inf")))
         for c in levels
     }
-    norm = {
-        c: min(w * (best_probe[c] / p)
-               for w, p in zip(walls[c], probes[c]))
-        for c in levels
-    }
+    norm, deflation = {}, {}
+    for c in levels:
+        deflated = [(w * (best_probe[c] / p), p / best_probe[c])
+                    for w, p in zip(walls[c], probes[c])]
+        norm[c], deflation[c] = min(deflated)
     lo, hi = levels
     dps = {c: n_docs / norm[c] for c in levels}
+    eff = round((dps[hi] / dps[lo]) / (hi // lo), 3)
     return {
         "norm_wall_s": {str(c): round(norm[c], 2) for c in levels},
         "probe_best_s": {str(c): round(best_probe[c], 2) for c in levels},
-        "paired_efficiency": round((dps[hi] / dps[lo]) / (hi // lo), 3),
+        "deflation": {str(c): round(deflation[c], 2) for c in levels},
+        "paired_efficiency": eff,
+        "credible": eff <= 1.15,
     }
 
 
@@ -1376,7 +1391,13 @@ def _paired_md(paired: dict | None) -> str:
         "only, which is exactly the asymmetry that poisons a raw N→4N "
         "ratio. Normalized walls: "
         f"{json.dumps(paired['norm_wall_s'])}; best probes per level: "
-        f"{json.dumps(paired['probe_best_s'])}.\n"
+        f"{json.dumps(paired['probe_best_s'])}; deflation applied to the "
+        f"selected legs: {json.dumps(paired.get('deflation', {}))}.\n"
+        + ("" if paired.get("credible", True) else
+           "**NOT CREDIBLE (> 1.15): the probes overstated the selected "
+           "leg's degradation and the normalization overcredited — this "
+           "paired number attributes nothing; read the raw ratio and the "
+           "per-leg noise metadata instead.**\n")
     )
 
 

@@ -1,0 +1,86 @@
+"""Unit tests for bench.py's paired-probe normalization protocol.
+
+Pure-Python (no Spark): pins the arithmetic of _paired_normalized and the
+credibility flag added after the 2026-08-19 overcorrection incident (a c1
+leg whose probes caught a worse window than the leg itself experienced
+normalized to paired efficiency 2.09 — physically implausible, must be
+flagged rather than banked).
+"""
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import bench  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_probe_best():
+    saved = dict(bench._PROBE_LEG_BEST)
+    bench._PROBE_LEG_BEST.clear()
+    yield
+    bench._PROBE_LEG_BEST.clear()
+    bench._PROBE_LEG_BEST.update(saved)
+
+
+def _meta(probe_walls_per_leg):
+    return [{"probe_walls": pw} for pw in probe_walls_per_leg]
+
+
+def test_quiet_legs_are_untouched_and_credible():
+    # both legs ran in the best window: deflation 1.0, paired == raw
+    walls = {1: [100.0], 4: [31.25]}
+    meta = {1: _meta([[10.0, 10.0]]), 4: _meta([[4.0, 4.0]])}
+    out = bench._paired_normalized(walls, meta, [1, 4], n_docs=1000)
+    assert out["norm_wall_s"] == {"1": 100.0, "4": 31.25}
+    assert out["deflation"] == {"1": 1.0, "4": 1.0}
+    assert out["paired_efficiency"] == 0.8
+    assert out["credible"] is True
+
+
+def test_degraded_leg_is_credited_back():
+    # the c4 leg ran in a 2x-degraded window (probe 8 vs best 4): its wall
+    # is halved before the ratio, restoring the quiet-window efficiency
+    walls = {1: [100.0], 4: [62.5]}
+    meta = {1: _meta([[10.0, 10.0]]), 4: _meta([[8.0, 8.0]])}
+    bench._PROBE_LEG_BEST.update({1: 10.0, 4: 4.0})
+    out = bench._paired_normalized(walls, meta, [1, 4], n_docs=1000)
+    assert out["norm_wall_s"]["4"] == 31.25
+    assert out["deflation"] == {"1": 1.0, "4": 2.0}
+    assert out["paired_efficiency"] == 0.8
+    assert out["credible"] is True
+
+
+def test_overcorrection_is_flagged_not_banked():
+    # the 2026-08-19 failure shape (real run values): the single c1 leg's
+    # own degraded probe is the best seen at c1 (no credit, deflation 1.0)
+    # while one c4 leg's probes overstate its window by ~3x (full credit)
+    # -> the asymmetric crediting lands paired at 2.09 and must be flagged
+    walls = {1: [418.28], 4: [149.57, 196.13]}
+    meta = {1: _meta([[14.77, 37.27]]),
+            4: _meta([[28.77, 8.2], [8.42, 3.93]])}
+    out = bench._paired_normalized(walls, meta, [1, 4], n_docs=240000)
+    assert out["paired_efficiency"] > 1.15
+    assert out["credible"] is False
+    assert out["deflation"]["1"] == 1.0 and out["deflation"]["4"] > 2.5
+    # the markdown renderer surfaces the flag so it cannot be banked quietly
+    md = bench._paired_md(out)
+    assert "NOT CREDIBLE" in md
+
+
+def test_min_leg_selection_tracks_deflated_wall():
+    # two c4 legs: the slower raw leg in the worse window deflates to the
+    # better normalized wall and its deflation is the one reported
+    walls = {1: [100.0], 4: [40.0, 60.0]}
+    meta = {1: _meta([[10.0, 10.0]]),
+            4: _meta([[4.0, 4.0], [8.0, 8.0]])}
+    out = bench._paired_normalized(walls, meta, [1, 4], n_docs=1000)
+    assert out["norm_wall_s"]["4"] == 30.0
+    assert out["deflation"]["4"] == 2.0
+
+
+def test_missing_probes_returns_none():
+    walls = {1: [100.0], 4: [30.0]}
+    meta = {1: _meta([[10.0, 10.0]]), 4: [{}]}
+    assert bench._paired_normalized(walls, meta, [1, 4], 1000) is None
