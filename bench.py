@@ -1296,17 +1296,25 @@ All walls: {json.dumps(al['all_walls'])}; per-leg noise:
 {json.dumps(al['leg_meta'])}
 
 The aligned path shows the same window-dependence as the flagship block
-(see the cross-run section above). Same protocol across the three banked
-runs: run A (08-18, mixed window) c1 241.69 / c4 65.72 → raw 0.919
-(paired 1.043); run B (08-18, quietest window) c1 148.11 / c4 58.22 →
-raw 0.636; run C (08-19, zstd) c1 188.38 / c4 76.58 → raw 0.615 —
-absolute walls improve with quieter windows at both levels, the raw
+(see the cross-run section above). Same protocol across the banked runs
+at 120k docs: run A (08-18, mixed window) c1 241.69 / c4 65.72 → raw
+0.919 (paired 1.043); run B (08-18, quietest window) c1 148.11 / c4
+58.22 → raw 0.636; run C (08-19, zstd) c1 188.38 / c4 76.58 → raw 0.615
+— absolute walls improve with quieter windows at both levels, the raw
 ratio tracks how hard the window hit the c1 leg. Those three runs'
 aligned blocks were each a single [4N, 4N, N] pass (one c1 sample), so
 they sampled the weather once where the flagship folds 5-7 c4 legs; the
 bench now spends leftover budget on extra aligned legs (the `aligned_fill`
 phase — fewest-samples level first, min-wall folded in-run), so later
-runs carry more than one c1 sample when the budget allows.
+runs carry more than one c1 sample when the budget allows — the
+aligned-only refresh (08-19, 120k, two c4 legs) banked raw 0.739 /
+paired 0.847, the best 120k evidence. Run D
+(08-19, quiet window, corpus DOUBLED to 240k docs) c1 334.77 / c4 101.67
+→ raw 0.823 (paired 0.873, selected-leg deflation ≤ 1.06 — an
+essentially raw measurement): the two-cluster-size criterion's trend is
+the right direction, bigger corpus → higher efficiency, because the
+fixed-latency stages are O(rounds), not O(docs) (see the stage-level
+decomposition below).
 """)
     else:
         parts.append("(aligned scaling block not measured in this run — "
@@ -1335,9 +1343,20 @@ steal {r.get('steal_pct')}% — regenerate with `bench.py
             f"| {k} | {v} | {counts.get(_ALIGNED_COUNT_KEY.get(k, k), '-')} |"
             for k, v in walls.items()
         ) + "\n")
-    # stage-level N→4N decomposition: a c1/c4 pair on the scaling corpus
-    by_cores = {r["cores"]: r for r in scale_runs
-                if r.get("n_entities") == ALIGNED_SCALE_ENTITIES}
+    # stage-level N→4N decomposition: a c1/c4 pair on a scaling corpus.
+    # Prefer a pair at the CURRENT entity count, but fall back to the
+    # largest complete pair on disk — a banked decomposition stays valid
+    # attribution evidence even when the scaling block later moves to a
+    # bigger corpus (an env override must not silently drop the table).
+    complete = {
+        n: {r["cores"]: r for r in scale_runs if r.get("n_entities") == n}
+        for n in {r.get("n_entities") for r in scale_runs}
+    }
+    complete = {n: bc for n, bc in complete.items()
+                if 1 in bc and 4 in bc}
+    pick = (ALIGNED_SCALE_ENTITIES if ALIGNED_SCALE_ENTITIES in complete
+            else max(complete, default=None))
+    by_cores = complete.get(pick, {})
     if 1 in by_cores and 4 in by_cores:
         r1, r4 = by_cores[1], by_cores[4]
         stages = [k for k in r1["stage_walls"] if k != "total"]
@@ -1360,6 +1379,18 @@ c1: {r1.get('run_date', '?')} load {r1.get('load_avg_1m')} steal
 |---|---|---|---|
 {rows}
 | total | {t1} | {t4} | {round(t1 / t4, 2)}× |
+
+Reading: the data-parallel stages (blocking, cand_pairs, seg_scores,
+refine) scale near-linearly; the aligned block's efficiency cap comes
+from the FIXED-latency stages: connected components (a driver-
+synchronized round structure whose per-round job-scheduling latency
+does not shrink with cores) and the max1 aggregation's small-stage
+overhead. Both are O(rounds), not O(docs) — an Amdahl term that shrinks
+as the corpus grows, which is exactly the 100-TB direction (measured:
+doubling the corpus 120k → 240k docs lifted the block's raw N→4N from
+0.739 to 0.823 at matched window quality). Stage walls include the
+per-stage materialization barrier, so totals sit above the barrier-free
+pipeline walls in the block table.
 """)
     return "\n".join(parts)
 
@@ -1391,8 +1422,10 @@ def _paired_md(paired: dict | None) -> str:
         "only, which is exactly the asymmetry that poisons a raw N→4N "
         "ratio. Normalized walls: "
         f"{json.dumps(paired['norm_wall_s'])}; best probes per level: "
-        f"{json.dumps(paired['probe_best_s'])}; deflation applied to the "
-        f"selected legs: {json.dumps(paired.get('deflation', {}))}.\n"
+        f"{json.dumps(paired['probe_best_s'])}"
+        + (f"; deflation applied to the selected legs: "
+           f"{json.dumps(paired['deflation'])}"
+           if paired.get("deflation") else "") + ".\n"
         + ("" if paired.get("credible", True) else
            "**NOT CREDIBLE (> 1.15): the probes overstated the selected "
            "leg's degradation and the normalization overcredited — this "
