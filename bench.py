@@ -1434,6 +1434,76 @@ def _paired_md(paired: dict | None) -> str:
     )
 
 
+#: archived full-run annotations: filename → (label, "date / engine").
+#: Only these narrative labels are static — every NUMBER in the cross-run
+#: table is read from the archived file at render time, so the table can
+#: never go stale against its sources. Unannotated archives get their
+#: filename stem as the label.
+_RUN_NOTES = {
+    "result_run_20260818_mixedwindow.json":
+        ("A (mixed window)", "08-18, lz4 shuffle"),
+    "result_run_20260818_quietwindow.json":
+        ("B (quietest window)", "08-18, lz4 shuffle"),
+    "result_run_20260819_zstd.json": ("C", "08-19, zstd shuffle"),
+}
+
+
+def _cross_run_md() -> str:
+    """Window-dependence section: one table row per archived full run
+    (``BENCH/result_run_*.json``) plus the run being rendered. Derived from
+    the archive files at render time — a new driver run supersedes
+    ``result_latest.json`` but extends this table instead of orphaning it
+    (the previous hardcoded three-row table went stale the moment a fourth
+    run landed)."""
+    rows: list[tuple[str, str, dict]] = []
+    seen_walls: list[dict] = []
+    files = [p for p in sorted((REPO / "BENCH").glob("result_run_*.json"))]
+    for p in files:
+        try:
+            r = json.loads(p.read_text())
+        except (ValueError, OSError):
+            continue
+        s = r.get("er_scaling") or {}
+        if "wall_s" not in s:
+            continue
+        label, engine = _RUN_NOTES.get(
+            p.name, (p.stem.replace("result_run_", ""), "-"))
+        rows.append((label, engine, s))
+        seen_walls.append(s["wall_s"])
+    cur = RESULT.get("er_scaling") or {}
+    # a refresh splice re-renders an already-archived run — don't row it twice
+    if cur.get("wall_s") and cur["wall_s"] not in seen_walls:
+        rows.append(("this run (`result_latest.json`)", "latest", cur))
+
+    def _fmt(s: dict) -> tuple:
+        c4 = s["wall_s"].get("4", "-")
+        legs4 = len((s.get("all_walls") or {}).get("4", []))
+        raw = s.get("scaling_efficiency", "-")
+        raw_s = (f"**{raw}**" if isinstance(raw, (int, float)) and raw >= 0.8
+                 else f"{raw}")
+        ctl = ((s.get("hw_control") or {}).get("efficiency") or {}).get(
+            "1->4", "-")
+        return (s["wall_s"].get("1", "-"), f"{c4} ({legs4} legs)", raw_s,
+                ctl, s.get("machine_normalized_efficiency", "-"))
+
+    names = ", ".join(f"`BENCH/{p.name}`" for p in files)
+    return (
+        f"## Raw efficiency is window-dependent on this host: "
+        f"{len(rows)} full same-protocol runs\n\n"
+        f"Complete rc-0 runs of this bench, all banked (archives: {names}; "
+        "full leg/probe/steal detail in each; raw N→4N in bold where the "
+        "≥ 0.8 target is met in-run):\n\n"
+        "| run | date / engine | c1 wall (s) | best c4 wall (s) | raw N→4N "
+        "| same-run control 1→4 | machine-normalized |\n"
+        "|---|---|---|---|---|---|---|\n"
+        + "\n".join(
+            "| {} | {} | {} | {} | {} | {} | {} |".format(
+                label, engine, *_fmt(s))
+            for label, engine, s in rows)
+        + "\n"
+    )
+
+
 def _write_bench_md() -> None:
     scaling = RESULT.get("er_scaling") or {}
     queries = RESULT.get("queries") or {}
@@ -1493,19 +1563,7 @@ number and the 0.8 target is the sandbox's noisy-neighbor/bandwidth loss,
 not engine serialization (see the per-stage table below for where the wall
 actually goes at each level).
 
-## Raw efficiency is window-dependent on this host: three full same-protocol runs
-
-Three complete rc-0 runs of this bench (all banked —
-`BENCH/result_run_20260818_mixedwindow.json`,
-`BENCH/result_run_20260818_quietwindow.json`, and the superseding
-`result_latest.json`; full leg/probe/steal detail in each):
-
-| run | date / engine | c1 wall (s) | best c4 wall (s) | raw N→4N | same-run control 1→4 | machine-normalized |
-|---|---|---|---|---|---|---|
-| A (mixed window) | 08-18, lz4 shuffle | 486.98 | 127.89 (5 legs) | 0.952 | 0.774 | 1.23 |
-| B (quietest window) | 08-18, lz4 shuffle | 312.69 | 102.51 (7 legs) | 0.763 | 0.834 | 0.915 |
-| C | 08-19, zstd shuffle | 346.72 | 104.74 (6 legs) | **0.828** | 0.855 | 0.968 |
-
+""" + _cross_run_md() + f"""
 Between A and B the ABSOLUTE walls improve at both levels (c1 1.56×, c4
 1.25×) but the RAW ratio drops — the single-core leg gains more from a
 quiet machine than the 4-core leg, which sits nearer the host's shared
@@ -1522,7 +1580,7 @@ engine. Two answers, both banked:
    in-run: **0.828**.
 2. **Statistic-side**: the window-stable number is machine-normalized
    efficiency — pipeline efficiency ÷ what the same-run no-Spark control
-   extracted — which stays in [0.9, 1.25] across all three runs: the
+   extracted — which stays in [0.9, 1.25] across runs A-C: the
    engine adds no serialization beyond the hardware ceiling any parallel
    workload hits here. (The paired-probe estimator over-corrected in
    run B, 1.599 — short probes sample the bandwidth weather too coarsely

@@ -84,3 +84,51 @@ def test_missing_probes_returns_none():
     walls = {1: [100.0], 4: [30.0]}
     meta = {1: _meta([[10.0, 10.0]]), 4: [{}]}
     assert bench._paired_normalized(walls, meta, [1, 4], 1000) is None
+
+
+def _fake_run(c1, c4, legs4, raw, ctl, mn):
+    return {"er_scaling": {
+        "wall_s": {"1": c1, "4": c4},
+        "all_walls": {"1": [c1], "4": [c4] * legs4},
+        "scaling_efficiency": raw,
+        "hw_control": {"efficiency": {"1->4": ctl}},
+        "machine_normalized_efficiency": mn,
+    }}
+
+
+def test_cross_run_table_rows_archives_plus_current(tmp_path, monkeypatch):
+    # archives render one row each (values read from the file, label from
+    # _RUN_NOTES or the filename stem); an unseen current run appends a row
+    import json as _json
+    (tmp_path / "BENCH").mkdir()
+    (tmp_path / "BENCH" / "result_run_20260818_mixedwindow.json").write_text(
+        _json.dumps(_fake_run(486.98, 127.89, 5, 0.952, 0.774, 1.23)))
+    (tmp_path / "BENCH" / "result_run_zz_newrun.json").write_text(
+        _json.dumps(_fake_run(300.0, 100.0, 2, 0.75, 0.8, 0.94)))
+    monkeypatch.setattr(bench, "REPO", tmp_path)
+    cur = _fake_run(320.0, 99.0, 3, 0.808, 0.82, 0.985)["er_scaling"]
+    monkeypatch.setitem(bench.RESULT, "er_scaling", cur)
+    md = bench._cross_run_md()
+    assert "3 full same-protocol runs" in md
+    assert "| A (mixed window) | 08-18, lz4 shuffle | 486.98 " in md
+    # unannotated archive falls back to the filename stem, raw below target
+    # stays unbolded
+    assert "| zz_newrun | - | 300.0 | 100.0 (2 legs) | 0.75 |" in md
+    # the current run's row is appended and its >=0.8 raw is bolded
+    assert "| this run (`result_latest.json`) | latest | 320.0 " in md
+    assert "**0.808**" in md
+
+
+def test_cross_run_table_dedupes_spliced_current(tmp_path, monkeypatch):
+    # an --aligned-scaling-only splice re-renders an archived run: the
+    # current RESULT must not produce a duplicate row
+    import json as _json
+    (tmp_path / "BENCH").mkdir()
+    run = _fake_run(346.72, 104.74, 6, 0.828, 0.855, 0.968)
+    (tmp_path / "BENCH" / "result_run_20260819_zstd.json").write_text(
+        _json.dumps(run))
+    monkeypatch.setattr(bench, "REPO", tmp_path)
+    monkeypatch.setitem(bench.RESULT, "er_scaling", run["er_scaling"])
+    md = bench._cross_run_md()
+    assert "1 full same-protocol runs" in md
+    assert "this run" not in md
