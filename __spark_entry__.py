@@ -47,16 +47,26 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     app = sc.applicationId
     if app in _PYFILES_SHIPPED:
         return
+    import hashlib
     import tempfile
     import zipfile
 
     pkg = Path(__file__).resolve().parent / "takco_spark"
-    zpath = Path(tempfile.gettempdir()) / "takco_spark_pyfiles.zip"
-    newest_src = max(p.stat().st_mtime for p in pkg.rglob("*.py"))
-    if not zpath.exists() or zpath.stat().st_mtime < newest_src:
+    # key the zip by a digest of the sources, not by a fixed name + mtime:
+    # concurrent checkouts/worktrees would otherwise share one global file
+    # and silently ship each other's code to their executors (and an mtime
+    # check never invalidates on file deletion)
+    srcs = sorted(pkg.rglob("*.py"))
+    h = hashlib.sha1()
+    for p in srcs:
+        h.update(str(p.relative_to(pkg)).encode())
+        h.update(p.read_bytes())
+    zpath = (Path(tempfile.gettempdir())
+             / f"takco_spark_pyfiles_{h.hexdigest()[:12]}.zip")
+    if not zpath.exists():
         tmp = zpath.with_suffix(f".{os.getpid()}.tmp")
         with zipfile.ZipFile(tmp, "w") as z:
-            for p in sorted(pkg.rglob("*.py")):
+            for p in srcs:
                 z.write(p, f"takco_spark/{p.relative_to(pkg)}")
         tmp.rename(zpath)  # atomic: concurrent processes see a whole zip
     try:
@@ -880,7 +890,11 @@ _GOLDEN_DIR = os.path.join(
 def _golden_sql(name: str) -> str:
     """Golden-pinned oracle: select the committed expected-output parquet
     matching the current SF (detected from the orders view's row count —
-    1500 at sf0.001, 15000 at sf0.01). Regenerate goldens with
+    1500 at sf0.001, 15000 at sf0.01). At any OTHER SF both guards are
+    false and the oracle returns an empty set (there is no golden to
+    compare against — callers other than the round driver should treat
+    that as "un-oracled at this SF", as scripts/driver_parity_check.py
+    does, not as a mismatch). Regenerate goldens with
     scripts/make_goldens.py when an algorithm changes intentionally."""
     return f"""
         SELECT g.* FROM read_parquet('{_GOLDEN_DIR}/{name}.sf0.01.parquet') g

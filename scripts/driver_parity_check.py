@@ -37,9 +37,17 @@ def norm(rows, cols):
     return sorted(tuple(nv(r[i]) for i in order) for r in rows)
 
 q, o = e.queries(), e.oracle_sql()
+# golden-pinned oracles exist only for the SFs with committed expected-output
+# parquet (orders = 1500 / 15000); at any other SF their SQL returns an empty
+# set by construction — skip them rather than report a false mismatch
+n_orders = con.execute("SELECT count(*) FROM orders").fetchone()[0]
+have_goldens = n_orders in (1500, 15000)
 fails = []
 for name in sorted(q):
     try:
+        if not have_goldens and name in o and ".sf0.01.parquet" in o[name]:
+            print(f"{name}: GOLDEN_SKIPPED (no committed golden for this SF)")
+            continue
         qdf = q[name](spark, SF)
         scols = qdf.columns; srows = [tuple(r) for r in qdf.collect()]
         if name not in o:
