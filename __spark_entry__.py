@@ -683,6 +683,16 @@ def q_knn_lsh(spark, sf_dir):
     return similarity_search.knn_lsh(emb.where(F.col("vec_id") < 20), emb, k=3)
 
 
+def q_knn_ivf(spark, sf_dir):
+    """Approximate ANN via an inverted-file index (IVF-Flat: seeded spherical
+    k-means quantizer → nprobe list probes → exact re-rank). Golden-pinned
+    (the quantizer is seeded-sample-trained, not SQL-expressible); recall vs
+    brute force asserted in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity_search.knn_ivf(
+        emb.where(F.col("vec_id") < 20), emb, k=3, n_list=16, nprobe=2)
+
+
 def aligned_corpus(spark, sf_dir):
     """The deterministic sub-structured corpus for the aligned-pipeline
     queries, materialized ONCE to a parquet fixture and read back — datagen
@@ -873,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "er_pipeline_spans": q_er_pipeline_spans,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "er_pipeline_aligned": q_er_pipeline_aligned,
         "er_pipeline_aligned_max1": q_er_pipeline_aligned_max1,
@@ -1457,7 +1468,7 @@ def oracle_sql() -> dict[str, str]:
             name: _golden_sql(name)
             for name in (
                 "minhash_lsh_pairs", "simhash_pairs", "knn_lsh",
-                "emb_neardup_lsh", "er_pipeline_spans",
+                "knn_ivf", "emb_neardup_lsh", "er_pipeline_spans",
                 "er_pipeline_aligned", "er_pipeline_aligned_max1",
             )
         },

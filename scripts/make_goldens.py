@@ -35,6 +35,7 @@ PER_SF = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "knn_lsh",
+    "knn_ivf",
     "emb_neardup_lsh",
     "er_pipeline_spans",
     "er_pipeline_aligned",
@@ -77,7 +78,9 @@ def main() -> None:
         a.to_parquet(out, index=False)
         print(f"pinned {name}@sf{sf}: {len(a)} rows -> {fname}")
 
-    for name in PER_SF:
+    # optional CLI filter: regenerate only the named queries
+    names = [n for n in sys.argv[1:] if n in PER_SF] or PER_SF
+    for name in names:
         for sf in ("0.001", "0.01"):
             pin(name, sf, f"{name}.sf{sf}.parquet")
 

@@ -68,6 +68,39 @@ def test_knn_lsh_recall_vs_brute(spark):
     assert recall >= 0.8, (recall, brute - approx)
 
 
+def test_knn_ivf_recall_vs_brute(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    # clustered corpus: 4 well-separated centers, the regime IVF exploits
+    centers = rng.normal(scale=4.0, size=(4, 16))
+    vecs = [(i, (centers[i % 4] + rng.normal(scale=0.3, size=16)).tolist())
+            for i in range(80)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"]).persist()
+    queries = df.where("vec_id < 10")
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in similarity_search.knn_brute_force(queries, df, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in similarity_search.knn_ivf(
+                  queries, df, k=3, n_list=8, nprobe=2, seed=7).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.9, (recall, brute - approx)
+
+
+def test_knn_ivf_deterministic_and_null_safe(spark):
+    import numpy as np
+    rng = np.random.RandomState(11)
+    vecs = [(i, rng.normal(size=8).tolist()) for i in range(30)]
+    vecs.append((30, None))  # null embedding must be dropped, not crash
+    df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<double>")
+    queries = df.where("vec_id < 5")
+    a = sorted(map(tuple, similarity_search.knn_ivf(
+        queries, df, k=2, n_list=4, seed=3).collect()))
+    b = sorted(map(tuple, similarity_search.knn_ivf(
+        queries, df, k=2, n_list=4, seed=3).collect()))
+    assert a == b and len(a) == 10
+    assert all(r[1] != 30 for r in a)  # null vector never surfaces
+
+
 def test_minhash_estimate_column(spark):
     from takco_spark.functions.similarity import make_minhash_signature_udf, minhash_estimate
     df = spark.createDataFrame(
