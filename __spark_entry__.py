@@ -355,6 +355,21 @@ def q_emb_neardup_lsh(spark, sf_dir):
     return out.select("id_1", "id_2", F.round("cos_sim", 4).alias("cos_r"))
 
 
+def q_emb_neardup_ivf(spark, sf_dir):
+    """The data-adaptive scale tier of embedding near-dup mining (seeded
+    spherical-k-means IVF lists → bounded list pairs → exact cosine filter).
+    Exact-precision / IVF-recall — golden-pinned (the sample-trained
+    quantizer is not SQL-expressible); recall-vs-exact asserted in pytest."""
+    from takco_spark.operators.dedup import embedding_neardup_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_neardup_ivf(
+        emb, threshold=0.4, n_list=16, nprobe=2, id_col="vec_id",
+        emb_col="embedding",
+    )
+    return out.select("id_1", "id_2", F.round("cos_sim", 4).alias("cos_r"))
+
+
 def q_er_cc(spark, sf_dir):
     """Flagship-equivalent, SQL-checkable ER: token blocking → token-set
     Jaccard ≥ 0.6 → connected components → (doc_id, cluster_id)."""
@@ -885,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "emb_neardup_lsh": q_emb_neardup_lsh,
+        "emb_neardup_ivf": q_emb_neardup_ivf,
         "er_pipeline_aligned": q_er_pipeline_aligned,
         "er_pipeline_aligned_max1": q_er_pipeline_aligned_max1,
     }
@@ -1468,7 +1484,7 @@ def oracle_sql() -> dict[str, str]:
             name: _golden_sql(name)
             for name in (
                 "minhash_lsh_pairs", "simhash_pairs", "knn_lsh",
-                "knn_ivf", "emb_neardup_lsh", "er_pipeline_spans",
+                "knn_ivf", "emb_neardup_lsh", "emb_neardup_ivf", "er_pipeline_spans",
                 "er_pipeline_aligned", "er_pipeline_aligned_max1",
             )
         },

@@ -37,6 +37,7 @@ PER_SF = [
     "knn_lsh",
     "knn_ivf",
     "emb_neardup_lsh",
+    "emb_neardup_ivf",
     "er_pipeline_spans",
     "er_pipeline_aligned",
     "er_pipeline_aligned_max1",

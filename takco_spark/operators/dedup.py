@@ -395,3 +395,56 @@ def embedding_neardup_lsh(
         )
         .where(F.col("cos_sim") >= F.lit(threshold))
     )
+
+
+def embedding_neardup_ivf(
+    embeddings: DataFrame, threshold: float = 0.9, n_list: int = 16,
+    nprobe: int = 2, seed: int = 42, max_bucket_size: int | None = 2000,
+    sample_cap: int = 20000,
+    id_col: str = "doc_id", emb_col: str = "emb",
+) -> DataFrame:
+    """IVF-bucketed near-dup mining: the data-adaptive sixth dedup tier.
+
+    A seeded spherical k-means quantizer (similarity_search.
+    train_ivf_centroids — bounded-sample trained, the FAISS protocol)
+    assigns each vector its ``nprobe`` nearest centroid lists; candidate
+    pairs share a list; exact cosine filters at ``threshold``. Where
+    hyperplane LSH cuts the space with data-OBLIVIOUS planes, IVF cells
+    follow the corpus's own density — on clustered corpora the same recall
+    costs far fewer candidates. Precision is exact (true-cosine filter);
+    recall < 1 when a near-dup pair straddles cells that probing misses —
+    raise ``nprobe`` to trade cost for recall. Same no-silent-caps contract
+    as the LSH tier: oversized lists are dropped via _bounded_bucket_pairs,
+    observable through dedup.bucket_cap_stats on the bucket stream.
+    """
+    from takco_spark.functions.similarity import cosine
+    from takco_spark.operators.similarity_search import (
+        make_ivf_assign_udf, train_ivf_centroids)
+
+    centroids = train_ivf_centroids(
+        embeddings, n_list=n_list, sample_cap=sample_cap, seed=seed,
+        id_col=id_col, vec_col=emb_col)
+    assign = make_ivf_assign_udf(centroids, nprobe=nprobe)
+    banded = embeddings.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(assign(F.col(emb_col))).alias("bucket"),
+    ).dropDuplicates(["doc_id", "bucket"])
+    pairs = _bounded_bucket_pairs(banded, max_bucket_size)
+    e1 = embeddings.select(
+        F.col(id_col).alias("doc_id_1"),
+        F.col(emb_col).cast("array<double>").alias("_e1"),
+    )
+    e2 = embeddings.select(
+        F.col(id_col).alias("doc_id_2"),
+        F.col(emb_col).cast("array<double>").alias("_e2"),
+    )
+    return (
+        pairs.join(e1.hint("shuffle_hash"), "doc_id_1")
+        .join(e2.hint("shuffle_hash"), "doc_id_2")
+        .select(
+            F.col("doc_id_1").alias("id_1"),
+            F.col("doc_id_2").alias("id_2"),
+            cosine(F.col("_e1"), F.col("_e2")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= F.lit(threshold))
+    )

@@ -316,3 +316,13 @@ def test_embedding_neardup_exact_and_lsh_recall(spark):
                                  dim=16).collect()}
     assert lsh <= exact          # exact precision (true cosine filter)
     assert len(lsh) == 5         # full recall on the planted pairs
+
+    # the IVF tier: near-identical vectors share a nearest centroid, so the
+    # planted pairs are recalled; the true-cosine filter keeps precision exact
+    from takco_spark.operators.dedup import embedding_neardup_ivf
+
+    ivf = {(r["id_1"], r["id_2"]) for r in
+           embedding_neardup_ivf(emb, threshold=0.99, n_list=4,
+                                 nprobe=2, seed=7).collect()}
+    assert ivf <= exact
+    assert len(ivf) == 5
