@@ -39,7 +39,14 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
+
+# Driver-side path bootstrap: a spark-submit driver runs this file from
+# scripts/ with only --py-files on the executor path; a local invocation
+# (`python scripts/run_linkage.py`) has neither. Either way the package
+# sits one directory up — put it on sys.path if an installed copy isn't.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_parser() -> argparse.ArgumentParser:
