@@ -102,7 +102,7 @@ def _cell_type_expr(c: str) -> str:
         f"CASE WHEN {c} IS NULL OR {c} = '' THEN 'empty' "
         f"WHEN {c} rlike '{year}' THEN 'year' "
         f"WHEN regexp_replace(regexp_replace({c}, '−', '-'), '[-.,%\\\\s]', '') rlike '^[0-9]+$' THEN 'numeric' "
-        f"WHEN to_timestamp({c}) IS NOT NULL THEN 'datetime' "
+        f"WHEN try_to_timestamp({c}) IS NOT NULL THEN 'datetime' "
         f"ELSE 'text' END"
     )
 

@@ -70,3 +70,29 @@ def test_aligned_cap_window_shares_groupby_exchange(spark):
     assert count(plan_capped) == count(plan_uncapped), (
         "cap added a pair-keyed exchange")
     assert "Sort" in plan_capped
+
+
+def test_knn_ivf_plan_is_equi_join(spark):
+    """The IVF candidate join must be a hash EQUI-join on list_id — never a
+    cartesian/nested-loop product (that would be the brute-force tier in
+    disguise) — and its Python surface exactly the two Arrow assign UDFs."""
+    import numpy as np
+
+    from takco_spark.operators import similarity_search
+
+    rng = np.random.RandomState(3)
+    df = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist()) for i in range(50)],
+        ["vec_id", "embedding"],
+    )
+    out = similarity_search.knn_ivf(
+        df.where("vec_id < 5"), df, k=2, n_list=4, seed=3)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "list_id" in plan            # the equi-join key survived
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    # exactly two Arrow nodes: corpus + query assign UDFs (formatted plans
+    # print each node twice — tree line and "(n) Node" detail header)
+    import re
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2
