@@ -9,8 +9,15 @@ attaches to the cluster manager's).
 """
 
 import importlib.util
+import json
+import os
+import shutil
+import subprocess
 import sys
+import zipfile
 from pathlib import Path
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -83,3 +90,59 @@ def test_submit_job_end_to_end(spark, tmp_path):
     # the checkpointed stages exist → a re-run is resumable
     ckpt = tmp_path / "ckpt"
     assert any("blocks" in p.name for p in ckpt.rglob("*") if p.is_dir())
+
+
+SPARK_SUBMIT = shutil.which("spark-submit") or (
+    "/opt/spark/bin/spark-submit"
+    if os.path.exists("/opt/spark/bin/spark-submit") else None)
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_real_spark_submit_py_files(spark, tmp_path):
+    """The literal north-rule packaging contract, no shortcuts: zip the
+    package, launch a REAL ``spark-submit --py-files takco_spark.zip``
+    subprocess (its own fresh JVM + Python workers, not the test session),
+    and check the labelled output it writes. Catches anything the in-process
+    main() drive can't: zip importability on executors, the script's
+    sys.path bootstrap, driver/worker env wiring, JSON stats emission."""
+    repo = Path(__file__).resolve().parents[1]
+    zip_path = tmp_path / "takco_spark.zip"
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for p in sorted((repo / "takco_spark").rglob("*.py")):
+            zf.write(p, p.relative_to(repo))
+
+    inp = str(tmp_path / "docs.parquet")
+    outp = str(tmp_path / "labelled.parquet")
+    synth_documents(spark, 120, seed=42, partitions=4).write.parquet(inp)
+
+    proc = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", str(zip_path),
+         str(repo / "scripts" / "run_linkage.py"),
+         "--input", inp, "--output", outp,
+         "--checkpoint-dir", str(tmp_path / "ckpt"), "--run-id", "submit1"],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # the job prints one JSON stats line on stdout
+    stats_line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    stats = json.loads(stats_line)
+    assert stats["stats"]["cc"]["converged"] is True
+
+    labelled = spark.read.parquet(outp)
+    assert labelled.count() == 120
+    assert {"doc_id", "spans", "true_entity", "cluster_id"} <= set(labelled.columns)
+    # pairwise F1 == 1.0 on the synthetic gold through the submitted job
+    pred = labelled.select("doc_id", "cluster_id", "true_entity")
+    a = pred.selectExpr("doc_id id1", "cluster_id c1", "true_entity e1")
+    b = pred.selectExpr("doc_id id2", "cluster_id c2", "true_entity e2")
+    pairs = a.crossJoin(b).where("id1 < id2")
+    row = pairs.agg(
+        F.sum((F.col("c1") == F.col("c2")).cast("long")).alias("pred"),
+        F.sum((F.col("e1") == F.col("e2")).cast("long")).alias("gold"),
+        F.sum(((F.col("c1") == F.col("c2")) & (F.col("e1") == F.col("e2")))
+              .cast("long")).alias("both"),
+    ).collect()[0]
+    assert row["both"] == row["pred"] == row["gold"] > 0
