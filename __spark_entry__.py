@@ -310,6 +310,56 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_media_blocking(spark, sf_dir):
+    """Media-reference blocking + media-Jaccard matcher over the REAL
+    operator chain (spans.doc_media_features → blocking.media_blocks via
+    block_documents → candidate_pairs → scoring.score_pairs media_jacc).
+
+    The flat corpus is lifted into interleaved-media shape with a
+    SQL-expressible deterministic rule (so DuckDB can mirror it exactly,
+    like q_er_cc): consecutive token trigrams become embedded-media refs —
+    documents repeating the same phrases "embed the same media". Pairs are
+    blocked on a shared ref (hot refs > max_block_size dropped;
+    salt_threshold pinned = max_block_size so salting — whose bucket hash
+    is not SQL-expressible — never triggers) and gated on
+    media_jacc >= 0.5 through the agg DSL.
+    """
+    from takco_spark.operators.blocking import block_documents
+    from takco_spark.operators.scoring import score_pairs
+    from takco_spark.spans import doc_media_features, doc_text_features
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.format_string("d%09d", F.col("doc_id")).alias("doc_id"),
+        F.expr(r"filter(split(lower(text), '\\W+'), t -> t != '')").alias("ts"),
+    )
+    spansified = base.select(
+        "doc_id",
+        F.expr("""
+          filter(transform(ts, (t, i) ->
+            CASE WHEN i % 3 = 0 AND i + 2 < size(ts) THEN struct(
+              'media' AS kind, '' AS text,
+              concat_ws('_', element_at(ts, i + 1), element_at(ts, i + 2),
+                        element_at(ts, i + 3)) AS media_ref,
+              cast(i AS int) AS offset) END),
+            x -> x IS NOT NULL)
+        """).alias("spans"),
+    )
+    cfg = PipelineConfig(
+        blockers=("media",), hashed_keys=False, use_media=True,
+        max_block_size=200, salt_threshold=200,
+        agg_expr="media_jacc", agg_threshold=0.5,
+    )
+    media = doc_media_features(spansified)
+    feats = doc_text_features(spansified, cfg.min_token_len)
+    blocks, _ = block_documents(feats, cfg, media=media)
+    scored = score_pairs(candidate_pairs(blocks), feats, cfg, media=media)
+    return scored.select(
+        "doc_id_1", "doc_id_2", "block_key",
+        F.round("media_jacc", 6).alias("media_jacc_r"),
+    )
+
+
 def q_knn_cosine(spark, sf_dir):
     """Brute-force cosine top-3 for the first 20 query vectors."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -891,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_tolerance": q_date_tolerance,
         "context_rows": q_context_rows,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "media_blocking": q_media_blocking,
         # golden-pinned (seeded-hash / pipeline internals: no SQL twin, but
         # deterministic — oracle is a committed expected-output parquet,
         # see _golden_sql / scripts/make_goldens.py)
@@ -1100,6 +1151,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s1 ON s1.doc_id = doc_id_1
             JOIN sizes s2 ON s2.doc_id = doc_id_2
             WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.35
+        """,
+        "media_blocking": """
+            WITH toks AS (
+              SELECT printf('d%09d', doc_id) AS doc_id,
+                     [t for t in regexp_split_to_array(lower(text), '\\W+')
+                      if t <> ''] AS ts
+              FROM documents),
+            refs AS (
+              SELECT doc_id, list_sort(list_distinct(
+                [ts[i*3+1] || '_' || ts[i*3+2] || '_' || ts[i*3+3]
+                 for i in generate_series(0, len(ts)//3 - 1)])) AS mr
+              FROM toks),
+            ex AS (SELECT doc_id, unnest(mr) AS r FROM refs),
+            keep AS (SELECT r FROM ex GROUP BY r HAVING count(*) <= 200),
+            pairs AS (
+              SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+                     min('med:' || a.r) AS block_key
+              FROM ex a JOIN keep USING (r) JOIN ex b USING (r)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            j AS (
+              SELECT p.doc_id_1, p.doc_id_2, p.block_key,
+                     CAST(len(list_intersect(r1.mr, r2.mr)) AS DOUBLE)
+                       / len(list_distinct(list_concat(r1.mr, r2.mr))) AS mj
+              FROM pairs p
+              JOIN refs r1 ON r1.doc_id = p.doc_id_1
+              JOIN refs r2 ON r2.doc_id = p.doc_id_2)
+            SELECT doc_id_1, doc_id_2, block_key, round(mj, 6) AS media_jacc_r
+            FROM j WHERE mj >= 0.5
         """,
         "knn_cosine": """
             WITH scored AS (

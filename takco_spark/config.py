@@ -14,7 +14,8 @@ from dataclasses import dataclass, field
 @dataclass
 class PipelineConfig:
     # --- blocking -----------------------------------------------------------
-    #: which blockers to run: any subset of {"token", "minhash", "embedding"}.
+    #: which blockers to run: any subset of {"token", "minhash", "embedding",
+    #: "media"}.
     blockers: tuple[str, ...] = ("token", "minhash")
     #: minimum token length considered a blocking key (reference skips short /
     #: numeric cells for lookup, takco/link/base.py:200-201).
@@ -84,6 +85,15 @@ class PipelineConfig:
     embedding_dim: int = 16
     #: hyperplane bits per LSH table for the 'embedding' blocker.
     emb_n_bits: int = 12
+    # --- media matcher/blocker (interleaved text+media corpora) -------------
+    #: add the 'media_jacc' matcher column — Jaccard over each document's set
+    #: of media_ref values (kind='media' spans). Interleaved documents that
+    #: embed the same images/videos are strong duplicate candidates; the
+    #: signal is exact-key (no similarity kernel) so it costs one narrow
+    #: join. The agg_expr may then reference media_jacc. The 'media' entry in
+    #: ``blockers`` blocks on shared media_ref the same way 'token' blocks on
+    #: shared tokens (same drop/salt caps).
+    use_media: bool = False
     # --- clustering ---------------------------------------------------------
     #: clusters larger than this are re-sliced (reference max_cluster_size,
     #: wikitables.toml:168 = 250; 0 disables). On by default so every

@@ -14,7 +14,9 @@ Layout per corpus of N docs:
 - EVERY doc also carries a couple of stop-word tokens ("the", "data", …) so
   hot-key dropping / salting is actually exercised at any scale;
 - each doc ends with one media span (kind='media', media_ref set) so the
-  span-sequence invariant covers media spans too.
+  span-sequence invariant covers media spans too; dup docs carry their
+  ENTITY's media ref (duplicates embed the same media object — signal for
+  the 'media' blocker/matcher), noise docs a per-doc one.
 
 Generation is distributed: ``spark.range(N)`` → ``mapInPandas`` (Arrow
 batches; the per-row work is trivial string assembly).
@@ -130,7 +132,10 @@ def _make_rows(ids: pd.Series, n_dup: int, variants: int, seed: int,
             {
                 "kind": "media",
                 "text": "",
-                "media_ref": f"m{_mix(seed, i, 17) % 100000}",
+                # dup docs embed their ENTITY's media object (same ref across
+                # the duplicate set — the media blocker/matcher has signal);
+                # noise docs get a per-doc ref
+                "media_ref": f"m{_mix(seed, entity if i < n_dup else i, 17) % 100000}",
                 "offset": len(toks),
             }
         )

@@ -66,8 +66,9 @@ def _salt_excluded_expr(salt_threshold: int, max_block_size: int):
 
 #: namespace ids carried alongside hashed keys (stats attribution; the
 #: string-keyed API encodes the namespace in the key prefix instead)
-NS_TOKEN, NS_MINHASH, NS_EMBEDDING = 0, 1, 2
-_NS_NAMES = {NS_TOKEN: "token", NS_MINHASH: "minhash", NS_EMBEDDING: "embedding"}
+NS_TOKEN, NS_MINHASH, NS_EMBEDDING, NS_MEDIA = 0, 1, 2, 3
+_NS_NAMES = {NS_TOKEN: "token", NS_MINHASH: "minhash",
+             NS_EMBEDDING: "embedding", NS_MEDIA: "media"}
 
 
 def token_blocks(features: DataFrame, cfg: PipelineConfig,
@@ -91,6 +92,24 @@ def token_blocks(features: DataFrame, cfg: PipelineConfig,
     key = (F.xxhash64("token") if hashed
            else F.concat(F.lit("tok:"), F.col("token")))
     return tok.select(key.alias("block_key"), "doc_id")
+
+
+def media_blocks(media_features: DataFrame, hashed: bool = False) -> DataFrame:
+    """(doc_id, media_refs) → (block_key='med:'+ref, doc_id) — exact-key
+    blocking on shared embedded media objects (interleaved text+media
+    corpora: two documents embedding the same image/video are duplicate
+    candidates regardless of their text).
+
+    Same shape and skew discipline as :func:`token_blocks`: one narrow
+    explode, fixed-width ``xxhash64`` keys under ``hashed=True``, and the
+    union-level drop/salt caps bound any viral media object (a meme embedded
+    by millions of pages is the media analog of a stop-word)."""
+    refs = media_features.select(
+        "doc_id", F.explode("media_refs").alias("ref")
+    ).where(F.col("ref") != "")
+    key = (F.xxhash64(F.concat(F.lit("med:"), F.col("ref"))) if hashed
+           else F.concat(F.lit("med:"), F.col("ref")))
+    return refs.select(key.alias("block_key"), "doc_id")
 
 
 def minhash_blocks(features: DataFrame, cfg: PipelineConfig,
@@ -246,6 +265,7 @@ def _collect_hot(df_counts: DataFrame, cap: int = 100_000) -> list[str]:
 def block_documents(
     features: DataFrame, cfg: PipelineConfig,
     embeddings: DataFrame | None = None,
+    media: DataFrame | None = None,
 ) -> tuple[DataFrame, list[BlockingStats]]:
     """Run the configured blockers and cap the UNION of their key streams.
 
@@ -260,6 +280,9 @@ def block_documents(
 
     ``embeddings``: (doc_id, emb) table required by the 'embedding' blocker
     (random-hyperplane buckets — the FAISS-blocking analog, SURVEY.md J3).
+
+    ``media``: (doc_id, media_refs) table required by the 'media' blocker
+    (spans.doc_media_features — exact-key blocking on shared media objects).
     """
     hashed = cfg.hashed_keys
     # the token key stream is shared: it feeds the union AND (persisted) the
@@ -315,6 +338,13 @@ def block_documents(
                     F.xxhash64("block_key").alias("block_key"), "doc_id"
                 )
             ns = NS_EMBEDDING
+        elif blocker == "media":
+            if media is None:
+                raise ValueError(
+                    "'media' blocker requires a media features table "
+                    "(spans.doc_media_features)")
+            part = media_blocks(media, hashed=hashed)
+            ns = NS_MEDIA
         else:
             raise ValueError(f"unknown blocker {blocker!r}")
         parts.append(part.select(

@@ -85,15 +85,22 @@ def tfidf_cosine_for_pairs(pairs: DataFrame, weights: DataFrame) -> DataFrame:
 def score_pairs(
     pairs: DataFrame, features: DataFrame, cfg: PipelineConfig,
     embeddings: DataFrame | None = None,
+    media: DataFrame | None = None,
 ) -> DataFrame:
     """Attach features to pairs, compute all matcher scores + aggregate.
 
     Returns (doc_id_1, doc_id_2, block_key, jaccard, lev_sim, jw,
-    [tfidf_cos,][emb_cos,] agg_sim), filtered to agg_sim >= cfg.agg_threshold.
+    [tfidf_cos,][emb_cos,][media_jacc,] agg_sim), filtered to
+    agg_sim >= cfg.agg_threshold.
 
     ``embeddings``: optional (doc_id, emb array<double>) — adds the
     ``emb_cos`` positive-cosine matcher column (reference EmbeddingMatcher
     vecsim, /root/reference/takco/cluster/matchers/embedding.py:227-246).
+
+    ``media``: optional (doc_id, media_refs array<string>) from
+    spans.doc_media_features — adds the ``media_jacc`` matcher column
+    (Jaccard over the documents' embedded-media reference sets; 0 when
+    either side has none). Exact-key identity, pure JVM set algebra.
     """
     f1 = features.select(
         F.col("doc_id").alias("doc_id_1"),
@@ -163,6 +170,29 @@ def score_pairs(
             .drop("emb_1", "emb_2")
         )
         available.add("emb_cos")
+    if media is not None:
+        m1 = media.select(
+            F.col("doc_id").alias("doc_id_1"), F.col("media_refs").alias("mr_1")
+        )
+        m2 = media.select(
+            F.col("doc_id").alias("doc_id_2"), F.col("media_refs").alias("mr_2")
+        )
+        union_sz = F.size(F.array_union("mr_1", "mr_2"))
+        scored = (
+            scored.join(m1.hint("shuffle_hash"), "doc_id_1", "left")
+            .join(m2.hint("shuffle_hash"), "doc_id_2", "left")
+            .withColumn(
+                "media_jacc",
+                F.when(
+                    F.col("mr_1").isNotNull() & F.col("mr_2").isNotNull()
+                    & (union_sz > 0),
+                    F.size(F.array_intersect("mr_1", "mr_2"))
+                    / union_sz.cast("double"),
+                ).otherwise(F.lit(0.0)),
+            )
+            .drop("mr_1", "mr_2")
+        )
+        available.add("media_jacc")
 
     agg = compile_agg_expr(cfg.agg_expr, available)
     return scored.withColumn("agg_sim", agg).where(

@@ -116,10 +116,17 @@ def run_pipeline(
             min_token_len=cfg.min_token_len,
         ).persist()
 
+    media = None
+    if cfg.use_media or "media" in cfg.blockers:
+        from takco_spark.spans import doc_media_features
+
+        media = doc_media_features(er_docs).persist()
+
     blocking_stats: list[dict] = []
 
     def _blocks() -> DataFrame:
-        out, st = block_documents(features, cfg, embeddings=embeddings)
+        out, st = block_documents(features, cfg, embeddings=embeddings,
+                                  media=media)
         blocking_stats.extend(s.as_dict() for s in st)
         return out
 
@@ -137,6 +144,7 @@ def run_pipeline(
         return score_pairs(
             pairs, features, cfg,
             embeddings=embeddings if cfg.use_embedding else None,
+            media=media if cfg.use_media else None,
         )
 
     pairs_scored = ckpt.stage(

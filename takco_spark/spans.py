@@ -121,6 +121,26 @@ def doc_text_features(documents: DataFrame, min_token_len: int = 2,
     )
 
 
+def doc_media_features(documents: DataFrame) -> DataFrame:
+    """Per-document media-reference set: ``(doc_id, media_refs)`` where
+    ``media_refs`` is the sorted distinct non-empty ``media_ref`` values of
+    the document's ``kind='media'`` spans.
+
+    The media analog of :func:`doc_text_features`'s token set — interleaved
+    documents embedding the same media objects are strong duplicate
+    candidates, and the signal is pure exact-key identity (no decode, no
+    similarity kernel). One narrow JVM projection; sort for determinism.
+    """
+    return documents.select(
+        "doc_id",
+        F.expr(
+            "array_sort(array_distinct(transform("
+            "  filter(spans, s -> s.kind = 'media' AND s.media_ref != ''),"
+            "  s -> s.media_ref)))"
+        ).alias("media_refs"),
+    )
+
+
 def doc_segment_features(documents: DataFrame, min_token_len: int = 2,
                          max_name_len: int = MAX_NAME_LEN) -> DataFrame:
     """Per-(doc, segment) features for ALIGNED scoring (SURVEY.md A5/J4).
