@@ -96,6 +96,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-cluster-size", type=int, default=d.max_cluster_size)
     p.add_argument("--use-tfidf", action="store_true")
     p.add_argument("--use-embedding", action="store_true")
+    p.add_argument("--use-media", action="store_true",
+                   help="add the media_jacc matcher column (shared embedded-"
+                        "media refs); pair with 'media' in --blockers")
     p.add_argument("--explain", action="store_true",
                    help="print the labelled plan (formatted) before writing")
     return p
@@ -116,6 +119,7 @@ def config_from_args(args: argparse.Namespace):
         max_cluster_size=args.max_cluster_size,
         use_tfidf=args.use_tfidf,
         use_embedding=args.use_embedding,
+        use_media=args.use_media,
         checkpoint_dir=args.checkpoint_dir,
         run_id=args.run_id,
     )
