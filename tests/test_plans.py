@@ -96,3 +96,31 @@ def test_knn_ivf_plan_is_equi_join(spark):
     # print each node twice — tree line and "(n) Node" detail header)
     import re
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2
+
+
+def test_media_path_is_pure_jvm(spark):
+    """The media blocker + media_jacc matcher must add ZERO Python to the
+    plan (exact-key identity + set algebra — PLANS.md media-matcher claim)
+    and keep its key namespace disjoint in both key modes."""
+    from takco_spark.datagen import synth_documents
+    from takco_spark.operators.blocking import (block_documents,
+                                                candidate_pairs, media_blocks)
+    from takco_spark.operators.scoring import score_pairs
+    from takco_spark.spans import doc_media_features, doc_text_features
+
+    docs = synth_documents(spark, 60, seed=42, partitions=2)
+    media = doc_media_features(docs)
+    feats = doc_text_features(docs, 2)
+    cfg = PipelineConfig(blockers=("media",), hashed_keys=False,
+                         use_media=True, agg_expr="media_jacc",
+                         agg_threshold=0.5)
+    blocks, _ = block_documents(feats, cfg, media=media)
+    scored = score_pairs(candidate_pairs(blocks), feats, cfg, media=media)
+    plan = _plan(scored.select("doc_id_1", "doc_id_2", "media_jacc"))
+    # the datagen source is MapInPandas; the media chain itself must add no
+    # Python evaluation nodes of any kind
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # hashed media keys are namespaced BEFORE hashing (no raw-token collisions)
+    hplan = _plan(media_blocks(media, hashed=True))
+    assert "xxhash64" in hplan and "med:" in hplan
