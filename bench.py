@@ -1460,6 +1460,8 @@ _RUN_NOTES = {
     "result_run_20260818_quietwindow.json":
         ("B (quietest window)", "08-18, lz4 shuffle"),
     "result_run_20260819_zstd.json": ("C", "08-19, zstd shuffle"),
+    "result_run_20260820_degradedwindow.json":
+        ("D (degraded window)", "08-20, zstd shuffle"),
 }
 
 

@@ -27,8 +27,10 @@ overwrites its own directories and reads only ``batch < id`` state — the
 prior state is never destroyed, and re-running a batch is idempotent (the
 parquet-level stand-in for Iceberg snapshot isolation):
 
-    features/batch=<id>/   (doc_id, name, tokens)     delta per batch
+    features/batch=<id>/   (doc_id, name, tokens[, media_refs])  delta/batch
     blocks/batch=<id>/     (block_key, doc_id)        delta per batch
+                           (union of the cfg.blockers key streams —
+                           token/minhash/media, all deterministic per doc)
     labels/batch=<id>/     (doc_id, cluster_id)       FULL snapshot per batch
                            (prune old snapshots out-of-band; latest complete
                            snapshot below the current batch is the input)
@@ -49,11 +51,50 @@ from takco_spark.config import PipelineConfig
 from takco_spark.operators.blocking import (
     apply_block_caps,
     candidate_pairs,
+    media_blocks,
+    minhash_blocks,
     token_blocks,
 )
 from takco_spark.operators.components import connected_components
 from takco_spark.operators.scoring import score_pairs
-from takco_spark.spans import DOCUMENT_SCHEMA, doc_text_features
+from takco_spark.spans import DOCUMENT_SCHEMA, doc_media_features, doc_text_features
+
+
+def _batch_blocks(new_feats: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The batch's block-key delta: union of cfg.blockers key streams.
+
+    Every supported blocker is a DETERMINISTIC per-doc key function (same
+    doc → same keys in any batch), which is exactly what makes the persisted
+    block index valid across batches. Deviation from the batch pipeline,
+    documented: batch-mode MinHash excludes corpus-global hot tokens from
+    signatures (block_documents derives the list from the full token
+    stream); a stream has no finished corpus to derive it from, so
+    incremental MinHash signs ALL tokens — increment ≡ batch exactly when no
+    token exceeds max_block_size, and the union-level caps still bound every
+    key either way. 'embedding' needs a per-batch embeddings table and its
+    own feature state — run the batch pipeline for it.
+    """
+    unsupported = set(cfg.blockers) - {"token", "minhash", "media"}
+    if unsupported:
+        raise ValueError(
+            f"incremental linkage supports blockers token/minhash/media; got "
+            f"{sorted(unsupported)} — use plans.pipeline.run_pipeline for these")
+    parts = []
+    if "token" in cfg.blockers:
+        parts.append(token_blocks(new_feats, cfg, hashed=cfg.hashed_keys))
+    if "minhash" in cfg.blockers:
+        parts.append(minhash_blocks(new_feats, cfg, hashed=cfg.hashed_keys))
+    if "media" in cfg.blockers:
+        # media_refs ride the feature delta (media_on in link_batch), so the
+        # key stream reads the already-parsed refs, not the spans again
+        parts.append(media_blocks(new_feats.select("doc_id", "media_refs"),
+                                  hashed=cfg.hashed_keys))
+    if not parts:
+        raise ValueError("cfg.blockers is empty")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _read_deltas(spark: SparkSession, root: str, schema: str,
@@ -117,7 +158,13 @@ def link_batch(
     strictly increasing across calls (Structured Streaming guarantees it).
     """
     cfg = cfg or PipelineConfig(blockers=("token",))
-    feat_schema = "doc_id string, name string, tokens array<string>"
+    media_on = cfg.use_media or "media" in cfg.blockers
+    # the feature delta carries media_refs when the media matcher/blocker is
+    # on (old docs' refs must survive into later batches' scoring joins);
+    # cfg must be stable across a state_dir's batches — same contract as the
+    # checkpoint manager's config token in the batch pipeline
+    feat_schema = ("doc_id string, name string, tokens array<string>"
+                   + (", media_refs array<string>" if media_on else ""))
     block_schema = (
         "block_key bigint, doc_id string" if cfg.hashed_keys
         else "block_key string, doc_id string"
@@ -128,11 +175,17 @@ def link_batch(
     # logical self-references into the un-materialized batch frame), and the
     # labels snapshot below stays the batch's commit point — a crash between
     # these writes and the snapshot replays harmlessly.
-    doc_text_features(
+    feats_delta = doc_text_features(
         batch.select("doc_id", "spans"), cfg.min_token_len
-    ).write.mode("overwrite").parquet(f"{state_dir}/features/batch={batch_id}")
+    )
+    if media_on:
+        feats_delta = feats_delta.join(
+            doc_media_features(batch.select("doc_id", "spans")), "doc_id"
+        )
+    feats_delta.write.mode("overwrite").parquet(
+        f"{state_dir}/features/batch={batch_id}")
     new_feats = spark.read.parquet(f"{state_dir}/features/batch={batch_id}")
-    token_blocks(new_feats, cfg, hashed=cfg.hashed_keys).write.mode(
+    _batch_blocks(new_feats, cfg).write.mode(
         "overwrite"
     ).parquet(f"{state_dir}/blocks/batch={batch_id}")
     new_blocks = spark.read.parquet(f"{state_dir}/blocks/batch={batch_id}")
@@ -152,7 +205,7 @@ def link_batch(
         F.broadcast(new_blocks.select("block_key").distinct()), "block_key"
     )
     capped, _stats = apply_block_caps(
-        new_blocks.unionByName(hits), cfg, blocker="token-incremental"
+        new_blocks.unionByName(hits), cfg, blocker="incremental"
     )
     # keep pairs where at least one side is NEW (old-old pairs were linked in
     # prior batches; re-scoring them is pure waste). One pass with two
@@ -171,7 +224,11 @@ def link_batch(
     )
 
     all_feats = old_feats.unionByName(new_feats)
-    scored = score_pairs(pairs, all_feats, cfg)
+    scored = score_pairs(
+        pairs, all_feats, cfg,
+        media=(all_feats.select("doc_id", "media_refs")
+               if cfg.use_media else None),
+    )
 
     # -- transitive label update: prior assignments enter as edges, so a new
     # bridge document merges existing clusters (single-linkage semantics)

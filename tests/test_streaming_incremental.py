@@ -112,3 +112,56 @@ def test_incremental_er_stream_end_to_end(spark, tmp_path):
               for r in latest_labels(spark, state).collect()}
     assert set(labels) == {"s1", "s2"}
     assert labels["s1"] == labels["s2"]  # near-dup docs linked across batches
+
+
+def _media_doc(spark, doc_id, text, refs):
+    spans = [{"kind": "cell", "text": t, "media_ref": "", "offset": i}
+             for i, t in enumerate(text.split("|"))]
+    spans += [{"kind": "media", "text": "", "media_ref": r,
+               "offset": len(spans) + j} for j, r in enumerate(refs)]
+    return spark.createDataFrame(
+        [(doc_id, spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+
+
+def test_incremental_multi_blocker_matches_batch(spark, tmp_path):
+    """token+minhash+media blockers through the SAME persisted block index:
+    increments ≡ one-shot batch (no hot tokens at this size, so the
+    batch-mode MinHash exclusion deviation is inactive), and a media-only
+    bridge (disjoint text, shared ref) merges clusters incrementally."""
+    state = str(tmp_path / "state")
+    cfg = PipelineConfig(blockers=("token", "minhash", "media"),
+                         use_media=True,
+                         agg_expr="@max(media_jacc, jaccard)",
+                         agg_threshold=0.5)
+    a = _media_doc(spark, "a", "alpha beta gamma", ["mX"])
+    b = _media_doc(spark, "b", "delta epsilon zeta", ["mY"])
+    # disjoint text from both, but embeds BOTH media objects
+    c = _media_doc(spark, "c", "eta theta iota", ["mX", "mY"])
+
+    link_batch(spark, a, state, 0, cfg)
+    l1 = {r["doc_id"]: r["cluster_id"]
+          for r in link_batch(spark, b, state, 1, cfg).collect()}
+    assert l1["a"] != l1["b"]
+    l2 = {r["doc_id"]: r["cluster_id"]
+          for r in link_batch(spark, c, state, 2, cfg).collect()}
+    # a-c: |{mX} ∩ {mX,mY}| / |{mX,mY}| = 0.5 >= 0.5 -> edge; same for b-c:
+    # the media-only bridge merges everything transitively
+    assert len(set(l2.values())) == 1 and len(l2) == 3
+
+    # one-shot batch over the full corpus gives the same partition
+    res = run_pipeline(spark, a.union(b).union(c), cfg)
+    batch_labels = {r["doc_id"]: r["cluster_id"]
+                    for r in res.labelled.select("doc_id", "cluster_id").collect()}
+    assert len(set(batch_labels.values())) == 1
+
+
+def test_incremental_rejects_unsupported_blocker(spark, tmp_path):
+    import pytest
+
+    cfg = PipelineConfig(blockers=("embedding",))
+    d = _media_doc(spark, "x", "aaa", ["m1"])
+    with pytest.raises(ValueError, match="embedding"):
+        link_batch(spark, d, str(tmp_path / "s"), 0, cfg)
