@@ -9,6 +9,18 @@ bronze document table exactly-once via Structured Streaming file-source
 tracking.
 """
 
+from takco_spark.streaming.incremental_er import (
+    compact_state,
+    incremental_er_stream,
+    latest_labels,
+    link_batch,
+)
 from takco_spark.streaming.ingest import ingest_documents_stream
 
-__all__ = ["ingest_documents_stream"]
+__all__ = [
+    "compact_state",
+    "incremental_er_stream",
+    "ingest_documents_stream",
+    "latest_labels",
+    "link_batch",
+]

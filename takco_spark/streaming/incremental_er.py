@@ -32,8 +32,18 @@ parquet-level stand-in for Iceberg snapshot isolation):
                            (union of the cfg.blockers key streams —
                            token/minhash/media, all deterministic per doc)
     labels/batch=<id>/     (doc_id, cluster_id)       FULL snapshot per batch
-                           (prune old snapshots out-of-band; latest complete
-                           snapshot below the current batch is the input)
+                           (latest complete snapshot below the current batch
+                           is the input; compact_state prunes old ones)
+    {features,blocks}/_base/epoch=<k>/   compacted union of all deltas <= k
+                           (written by compact_state; readers prefer the
+                           newest complete epoch below their replay horizon
+                           and only scan deltas ABOVE it)
+
+Without compaction the per-batch read fan-in grows O(#batches) — file
+listings, parquet footers, and union width all scale with stream age, which
+is untenable for a long-lived 10^12-doc ingest. ``compact_state`` is the
+parquet stand-in for Iceberg's ``rewrite_data_files`` + ``expire_snapshots``
+maintenance pair and keeps every batch's reads O(1 epoch + recent deltas).
 
 Reference scope note: the reference has no streaming surface (SURVEY.md
 §2.9) — this is part of the engine's Spark-native extension for continuous
@@ -99,32 +109,116 @@ def _batch_blocks(new_feats: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 def _read_deltas(spark: SparkSession, root: str, schema: str,
                  before_batch: int) -> DataFrame:
-    """Union of all batch=<id> delta dirs with id < before_batch (partition
-    pruning does the filtering — only the wanted dirs are listed/scanned).
-    A crashed later batch's half-written dir is thereby invisible to the
-    replay that must not see it."""
-    complete = [
-        e for e in _batch_ids(root) if e < before_batch
+    """State visible to a batch: the newest complete ``_base/epoch=<k>``
+    with k < before_batch (if any), plus the batch=<id> delta dirs with
+    epoch < id < before_batch. A crashed later batch's half-written dir has
+    no _SUCCESS and is invisible to the replay that must not see it; a
+    half-finished compaction is likewise invisible (epoch commits via its
+    own _SUCCESS, and leftover deltas <= epoch are simply ignored)."""
+    epochs = [e for e in _epoch_ids(f"{root}/_base") if e < before_batch]
+    base = max(epochs) if epochs else None
+    deltas = [
+        i for i in _batch_ids(root)
+        if i < before_batch and (base is None or i > base)
     ]
-    if not complete:
+    parts = []
+    if base is not None:
+        parts.append(spark.read.parquet(f"{root}/_base/epoch={base}"))
+    if deltas:
+        parts.append(
+            spark.read.option("basePath", root)
+            .parquet(*[f"{root}/batch={i}" for i in deltas])
+            .drop("batch")
+        )
+    if not parts:
         return spark.createDataFrame([], schema)
-    return (
-        spark.read.option("basePath", root)
-        .parquet(*[f"{root}/batch={i}" for i in complete])
-        .drop("batch")
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
-def _batch_ids(root: str) -> list[int]:
+def _complete_ids(root: str, prefix: str) -> list[int]:
     if not os.path.isdir(root):
         return []
     out = []
     for e in os.scandir(root):
-        if e.is_dir() and e.name.startswith("batch=") and os.path.exists(
+        if e.is_dir() and e.name.startswith(prefix) and os.path.exists(
             os.path.join(e.path, "_SUCCESS")
         ):
             out.append(int(e.name.split("=", 1)[1]))
     return sorted(out)
+
+
+def _batch_ids(root: str) -> list[int]:
+    return _complete_ids(root, "batch=")
+
+
+def _epoch_ids(base_root: str) -> list[int]:
+    return _complete_ids(base_root, "epoch=")
+
+
+def compact_state(spark: SparkSession, state_dir: str,
+                  through_batch: int | None = None) -> dict:
+    """Compact the incremental-linkage state THROUGH a batch id: merge all
+    feature/block deltas with id <= through into one ``_base/epoch=<k>``
+    dir each, then drop the merged deltas, older epochs, and label
+    snapshots below k. The parquet stand-in for Iceberg's
+    ``rewrite_data_files`` + ``expire_snapshots`` maintenance pair.
+
+    Default ``through_batch`` is the SECOND-newest complete label snapshot:
+    Structured Streaming can only replay the batch after its last committed
+    offset (the newest one here), and that replay must still be able to read
+    state strictly below itself — so the newest batch is never folded in.
+    Passing an explicit ``through_batch`` >= the newest label snapshot is
+    rejected for the same reason.
+
+    Crash-safe at every point: the epoch write commits via its _SUCCESS
+    (readers ignore incomplete epochs), after which leftover deltas <= k are
+    dead weight readers already skip — the deletion phase is pure cleanup
+    and idempotent. Re-running with the same k short-circuits the write.
+    """
+    label_ids = _batch_ids(f"{state_dir}/labels")
+    if through_batch is None:
+        if len(label_ids) < 2:
+            return {"compacted_through": None, "reason": "nothing to compact"}
+        through_batch = label_ids[-2]
+    k = through_batch
+    if k not in label_ids:
+        raise ValueError(
+            f"no complete label snapshot for batch {k}; have {label_ids}")
+    if k >= label_ids[-1]:
+        raise ValueError(
+            f"refusing to compact through the newest batch {label_ids[-1]} "
+            "— a streaming replay of it could no longer read prior state")
+
+    import shutil
+
+    stats: dict = {"compacted_through": k}
+    for sub in ("features", "blocks"):
+        root = f"{state_dir}/{sub}"
+        base_root = f"{root}/_base"
+        delta_ids = [i for i in _batch_ids(root) if i <= k]
+        epoch_ids = _epoch_ids(base_root)
+        if k not in epoch_ids:
+            if not delta_ids and not epoch_ids:
+                stats[sub] = {"deltas_merged": 0, "skipped": True}
+                continue
+            # schema arg is only used for the no-input case, excluded above
+            merged = _read_deltas(spark, root, "doc_id string", k + 1)
+            merged.write.mode("overwrite").parquet(f"{base_root}/epoch={k}")
+        stats[sub] = {"deltas_merged": len(delta_ids),
+                      "epochs_dropped": len([e for e in epoch_ids if e < k])}
+        for i in delta_ids:
+            shutil.rmtree(f"{root}/batch={i}", ignore_errors=True)
+        for e in epoch_ids:
+            if e < k:
+                shutil.rmtree(f"{base_root}/epoch={e}", ignore_errors=True)
+    dropped = [i for i in label_ids if i < k]
+    for i in dropped:
+        shutil.rmtree(f"{state_dir}/labels/batch={i}", ignore_errors=True)
+    stats["label_snapshots_dropped"] = len(dropped)
+    return stats
 
 
 def latest_labels(spark: SparkSession, state_dir: str,
@@ -269,12 +363,17 @@ def incremental_er_stream(
     cfg: PipelineConfig | None = None,
     max_files_per_trigger: int = 64,
     available_now: bool = True,
+    compact_every: int = 0,
 ):
     """readStream JSONL documents → per-micro-batch incremental linkage.
 
     foreachBatch + per-batch-dir idempotent writes give effective
     exactly-once state maintenance across restarts (a replayed batch
-    overwrites its own directories and reads only earlier ones)."""
+    overwrites its own directories and reads only earlier ones).
+    ``compact_every=n`` folds state maintenance into the stream itself:
+    after every n-th batch commits, deltas below it are compacted into a
+    base epoch (see :func:`compact_state`) — compaction never touches the
+    just-committed batch, so a crash-replay of it stays valid."""
     src = (
         spark.readStream.schema(DOCUMENT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -283,6 +382,8 @@ def incremental_er_stream(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         link_batch(spark, batch_df, state_dir, batch_id, cfg)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_state(spark, state_dir)
 
     writer = (
         src.writeStream.foreachBatch(_process)

@@ -106,12 +106,16 @@ def test_incremental_er_stream_end_to_end(spark, tmp_path):
     (landing / "f1.jsonl").write_text(_json.dumps(
         {"doc_id": "s2", "spans": spans("monty python flying circus again")}) + "\n")
     q2 = incremental_er_stream(spark, str(landing), state, ck, _cfg(),
-                               max_files_per_trigger=1)
+                               max_files_per_trigger=1, compact_every=1)
     q2.awaitTermination(120)
     labels = {r["doc_id"]: r["cluster_id"]
               for r in latest_labels(spark, state).collect()}
     assert set(labels) == {"s1", "s2"}
     assert labels["s1"] == labels["s2"]  # near-dup docs linked across batches
+    # compact_every fired after micro-batch 1: batch-0 deltas folded into an epoch
+    import glob
+    assert len(glob.glob(f"{state}/features/_base/epoch=0/_SUCCESS")) == 1
+    assert glob.glob(f"{state}/features/batch=0") == []
 
 
 def _media_doc(spark, doc_id, text, refs):
@@ -165,3 +169,60 @@ def test_incremental_rejects_unsupported_blocker(spark, tmp_path):
     d = _media_doc(spark, "x", "aaa", ["m1"])
     with pytest.raises(ValueError, match="embedding"):
         link_batch(spark, d, str(tmp_path / "s"), 0, cfg)
+
+
+def test_compact_state_preserves_linkage(spark, tmp_path):
+    """Compaction through batch 1: same labels before/after, the NEXT batch
+    links identically against the compacted state (epoch read path), delta
+    dirs are physically gone, and re-compacting is an idempotent no-op."""
+    from takco_spark.streaming.incremental_er import compact_state
+
+    plain = str(tmp_path / "plain")
+    comp = str(tmp_path / "comp")
+    batches = [
+        _doc(spark, "a1", "alpha beta gamma|rotterdam"),
+        _doc(spark, "b1", "delta epsilon zeta|utrecht"),
+        _doc(spark, "a0", "alpha beta gamma|delta epsilon zeta"),
+    ]
+    for state in (plain, comp):
+        link_batch(spark, batches[0], state, 0, _cfg())
+        link_batch(spark, batches[1], state, 1, _cfg())
+
+    stats = compact_state(spark, comp)  # default: through second-newest = 0
+    assert stats["compacted_through"] == 0
+    stats2 = compact_state(spark, comp, through_batch=0)
+    assert stats2["features"]["deltas_merged"] == 0  # idempotent re-run
+
+    # labels visible to the next batch are unchanged by compaction
+    import glob
+    assert (sorted(map(tuple, latest_labels(spark, comp).collect()))
+            == sorted(map(tuple, latest_labels(spark, plain).collect())))
+    assert glob.glob(f"{comp}/features/batch=0") == []  # delta gone
+    assert len(glob.glob(f"{comp}/features/_base/epoch=0/_SUCCESS")) == 1
+
+    # the bridge batch produces the SAME result over compacted state
+    lp = sorted(map(tuple, link_batch(spark, batches[2], plain, 2, _cfg()).collect()))
+    lc = sorted(map(tuple, link_batch(spark, batches[2], comp, 2, _cfg()).collect()))
+    assert lp == lc and len(lc) == 3
+
+    # compact again (through=1 now second-newest), then REPLAY the newest
+    # batch: it must still read state strictly below itself and reproduce
+    compact_state(spark, comp)
+    replay = sorted(map(tuple, link_batch(spark, batches[2], comp, 2, _cfg()).collect()))
+    assert replay == lc
+    # label snapshots below the compaction point are pruned
+    assert glob.glob(f"{comp}/labels/batch=0") == []
+    assert len(glob.glob(f"{comp}/labels/batch=2/_SUCCESS")) == 1
+
+
+def test_compact_state_refuses_newest_batch(spark, tmp_path):
+    import pytest
+
+    from takco_spark.streaming.incremental_er import compact_state
+
+    state = str(tmp_path / "state")
+    link_batch(spark, _doc(spark, "x", "aaa bbb"), state, 0, _cfg())
+    assert compact_state(spark, state)["compacted_through"] is None
+    link_batch(spark, _doc(spark, "y", "ccc ddd"), state, 1, _cfg())
+    with pytest.raises(ValueError, match="newest"):
+        compact_state(spark, state, through_batch=1)
