@@ -746,6 +746,103 @@ def _aligned_stage_run(cores: int, n_entities: int | None = None) -> None:
     spark.stop()
 
 
+def _state_file_count(state_dir: str) -> int:
+    """Parquet data files currently in an incremental-linkage state dir —
+    the per-batch read/listing fan-in signal compaction is meant to bound."""
+    n = 0
+    for root, _dirs, files in os.walk(state_dir):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def _incremental_run(n_batches: int = 8, docs_per_batch: int = 30_000,
+                     compact_every: int = 4) -> None:
+    """Standalone evidence mode for the streaming path: per-batch
+    ``link_batch`` walls as accumulated state grows, with and without epoch
+    compaction, plus ONE full-corpus batch re-run at the final cumulative
+    size (the cost incrementality avoids paying per arrival). Honesty note
+    rendered with the table: per-batch cost has an O(corpus) floor — the
+    label-union CC input and the full label snapshot write — so walls grow
+    slowly with corpus; the claim measured here is that they grow FAR slower
+    than the full re-run alternative, and that compaction bounds the state
+    file fan-in. Writes BENCH/incremental_run_b{B}xd{D}.json (rendered into
+    BASELINE.md)."""
+    import shutil as _shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from takco_spark.config import PipelineConfig
+    from takco_spark.plans.pipeline import run_pipeline
+    from takco_spark.session import get_spark
+    from takco_spark.streaming.incremental_er import compact_state, link_batch
+
+    spark = get_spark(app_name="bench-incremental", master=f"local[{CPUS}]")
+    total = n_batches * docs_per_batch
+    corpus = _bench_corpus(spark, total, CPUS * 4)
+    # deterministic batch slices of ONE corpus (hash split), so duplicate
+    # groups span batch boundaries and cross-batch linking work is real
+    slices = _bench_corpus_path(total) + f"_slices_b{n_batches}"
+    if not os.path.exists(f"{slices}/_SUCCESS"):
+        (corpus.withColumn("b", F.abs(F.hash("doc_id")) % n_batches)
+         .write.mode("overwrite").partitionBy("b").parquet(slices))
+    _warm(spark, CPUS)
+    cfg = PipelineConfig()
+    out: dict = {
+        "n_batches": n_batches, "docs_per_batch": docs_per_batch,
+        "total_docs": total, "cores": CPUS, "compact_every": compact_every,
+        "run_date": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+        "variants": {},
+    }
+    for name, every in (("nocompact", 0), (f"compact{compact_every}",
+                                           compact_every)):
+        state = tempfile.mkdtemp(prefix=f"takco_inc_{name}_")
+        walls, noise, files_before = [], [], []
+        for i in range(n_batches):
+            batch = spark.read.parquet(f"{slices}/b={i}").select(
+                "doc_id", "spans")
+            files_before.append(_state_file_count(state))
+            s0, c0 = _cpu_ticks()
+            w0 = time.time()
+            link_batch(spark, batch, state, i, cfg)
+            wall = time.time() - w0
+            s1, c1 = _cpu_ticks()
+            walls.append(round(wall, 2))
+            noise.append({
+                "steal_pct": round(100.0 * (s1 - s0) / max(c1 - c0, 1), 2),
+                "load1": round(os.getloadavg()[0], 2),
+            })
+            if every and i > 0 and i % every == 0:
+                compact_state(spark, state)
+            print(f"# incremental {name} batch {i}: {wall:.1f} s",
+                  file=sys.stderr)
+        out["variants"][name] = {
+            "batch_walls": walls, "noise": noise,
+            "state_files_before_batch": files_before,
+        }
+        _shutil.rmtree(state, ignore_errors=True)
+    # the alternative a per-arrival deployment would pay: full re-cluster
+    # of the cumulative corpus (same cfg, same session, input materialized)
+    docs = corpus.persist()
+    docs.count()
+    s0, c0 = _cpu_ticks()
+    w0 = time.time()
+    res = run_pipeline(spark, docs, cfg)
+    res.components.write.format("noop").mode("overwrite").save()
+    out["full_rerun_wall_s"] = round(time.time() - w0, 2)
+    s1, c1 = _cpu_ticks()
+    out["full_rerun_noise"] = {
+        "steal_pct": round(100.0 * (s1 - s0) / max(c1 - c0, 1), 2),
+        "load1": round(os.getloadavg()[0], 2),
+    }
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / f"incremental_run_b{n_batches}xd{docs_per_batch}.json"
+     ).write_text(json.dumps(out))
+    print(json.dumps(out))
+    spark.stop()
+
+
 def _mem_ab(cores: int = 4, n_docs: int | None = None) -> None:
     """A/B the 48g-vs-24g local heap claim (session.py's default) with
     measured, dated evidence: interleaved [48g, 24g, 48g, 24g] fresh-JVM
@@ -1417,6 +1514,61 @@ _ALIGNED_COUNT_KEY = {
 }
 
 
+def _incremental_md() -> str:
+    """Render the incremental-vs-rerun evidence from persisted
+    ``--incremental-run`` JSONs (BENCH/incremental_run_*.json) — measured,
+    dated; regenerate with ``bench.py --incremental-run B D K``."""
+    files = sorted((REPO / "BENCH").glob("incremental_run_*.json"))
+    if not files:
+        return ("No persisted incremental runs yet — generate with "
+                "`python bench.py --incremental-run 8 30000 4`.\n")
+    parts = []
+    for p in files:
+        try:
+            d = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        names = list(d["variants"])
+        hdr = ("| batch | cumulative docs | " + " | ".join(
+            f"{n} wall (s) | {n} files" for n in names) + " |")
+        sep = "|---" * (2 + 2 * len(names)) + "|"
+        rows = []
+        for i in range(d["n_batches"]):
+            cells = [str(i), str((i + 1) * d["docs_per_batch"])]
+            for n in names:
+                v = d["variants"][n]
+                cells.append(str(v["batch_walls"][i]))
+                cells.append(str(v["state_files_before_batch"][i]))
+            rows.append("| " + " | ".join(cells) + " |")
+        last_walls = {n: d["variants"][n]["batch_walls"][-1] for n in names}
+        worst_steal = max(
+            (m["steal_pct"] for n in names for m in d["variants"][n]["noise"]),
+            default=0.0)
+        summary = (
+            f"\nFinal-batch incremental wall vs full re-cluster of the same "
+            f"cumulative corpus ({d['total_docs']} docs): "
+            + ", ".join(f"{n} {last_walls[n]} s" for n in names)
+            + f" vs **{d.get('full_rerun_wall_s', '?')} s** — the per-arrival "
+            "cost a batch-only deployment would pay. Worst per-batch steal "
+            f"{worst_steal}%; full detail (per-batch noise meta) in "
+            f"`BENCH/{p.name}`.\n\nPer-batch walls have an O(corpus) floor "
+            "by design (the label-union CC input and the full label-snapshot "
+            "write grow with the corpus); the measured claim is that this "
+            "floor grows far slower than the full re-run alternative, and "
+            "that epoch compaction (`compact_state`, every "
+            f"{d.get('compact_every')} batches here) bounds the state-file "
+            "fan-in the `files` columns track. Variants run sequentially in "
+            "one session (nocompact first), so cross-variant wall deltas "
+            "partly reflect JVM/page-cache warmth — the load-bearing "
+            "comparisons are within-variant growth, the files columns, and "
+            "incremental-vs-rerun.\n")
+        parts.append(
+            f"local[{d['cores']}], {d['docs_per_batch']} docs/batch × "
+            f"{d['n_batches']} batches, {d['run_date']}:\n\n"
+            + "\n".join([hdr, sep] + rows) + summary)
+    return "\n".join(parts)
+
+
 def _paired_md(paired: dict | None) -> str:
     if not paired:
         return ""
@@ -1649,6 +1801,10 @@ the driver's run window (min-of-interleaved-blocks is the noise defense).
 
 """ + _aligned_md() + """
 
+## Incremental linkage (streaming path): per-batch cost vs full re-runs
+
+""" + _incremental_md() + """
+
 ## Heap-size evidence (the 48g local default, measured)
 
 """ + _mem_ab_md() + f"""
@@ -1727,6 +1883,14 @@ def main() -> None:
         signal.signal(signal.SIGINT, _on_term_internal)
         _aligned_scaling_refresh(
             float(sys.argv[2]) if len(sys.argv) > 2 else 1500.0)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--incremental-run":
+        signal.signal(signal.SIGTERM, _on_term_internal)
+        signal.signal(signal.SIGINT, _on_term_internal)
+        _incremental_run(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 8,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 30_000,
+            int(sys.argv[4]) if len(sys.argv) > 4 else 4)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--mem-ab":
         signal.signal(signal.SIGTERM, _on_term_internal)
