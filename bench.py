@@ -1670,6 +1670,16 @@ def _cross_run_md() -> str:
                 label, engine, *_fmt(s))
             for label, engine, s in rows)
         + "\n"
+        + (
+            "\nRun D is the cautionary sample: per-leg steal hit 7-10% (vs "
+            "≤0.07% in C) and even the NO-SPARK control managed only 0.742 "
+            "at 1→4 — the window could not deliver 4× bandwidth to any "
+            "workload, Spark or not. Headline queries degraded 2.3× in the "
+            "same run (90.6 s vs C's 39.4 s total). It is banked unedited; "
+            "run C remains the best machine-credible run for headline "
+            "claims, exactly as the protocol section describes.\n"
+            if any(p.name == "result_run_20260820_degradedwindow.json"
+                   for p in files) else "")
     )
 
 
