@@ -741,6 +741,20 @@ def q_er_pipeline_spans(spark, sf_dir):
     return res.labelled.select("doc_id", "cluster_id")
 
 
+def q_er_pipeline_louvain(spark, sf_dir):
+    """G1 exact tier: the flagship pipeline with cluster_method='louvain' —
+    weighted multilevel Louvain (weights sim**edge_exp, the reference's
+    igraph community_multilevel, /root/reference/takco/cluster/cluster.py:
+    74-106) run exactly per connected component with a global-2m null-model
+    constant (operators/louvain.py; distributed ≡ sequential pinned in
+    tests/test_louvain.py). Golden-pinned: Louvain's local-move order is
+    sequential-greedy and blocking is seeded — no SQL twin."""
+    flat = _t(spark, sf_dir, "documents")
+    docs = with_spans(flat, text_col="text", id_col="doc_id").select("doc_id", "spans")
+    res = run_pipeline(spark, docs, PipelineConfig(cluster_method="louvain"))
+    return res.labelled.select("doc_id", "cluster_id")
+
+
 def q_knn_lsh(spark, sf_dir):
     """Approximate ANN via random-hyperplane LSH (seeded planes — golden-pinned;
     recall vs brute force asserted in pytest)."""
@@ -948,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "er_pipeline_spans": q_er_pipeline_spans,
+        "er_pipeline_louvain": q_er_pipeline_louvain,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "emb_neardup_lsh": q_emb_neardup_lsh,
@@ -1564,7 +1579,8 @@ def oracle_sql() -> dict[str, str]:
             for name in (
                 "minhash_lsh_pairs", "simhash_pairs", "knn_lsh",
                 "knn_ivf", "emb_neardup_lsh", "emb_neardup_ivf", "er_pipeline_spans",
-                "er_pipeline_aligned", "er_pipeline_aligned_max1",
+                "er_pipeline_louvain", "er_pipeline_aligned",
+                "er_pipeline_aligned_max1",
             )
         },
     }

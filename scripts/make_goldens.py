@@ -39,6 +39,7 @@ PER_SF = [
     "emb_neardup_lsh",
     "emb_neardup_ivf",
     "er_pipeline_spans",
+    "er_pipeline_louvain",
     "er_pipeline_aligned",
     "er_pipeline_aligned_max1",
 ]

@@ -95,6 +95,18 @@ class PipelineConfig:
     #: shared tokens (same drop/salt caps).
     use_media: bool = False
     # --- clustering ---------------------------------------------------------
+    #: graph-partition algorithm: 'cc' (default — scalable large-star /
+    #: small-star connected components; pair with refine_threshold for the
+    #: engine's measured-parity G1 tier) or 'louvain' (exact reference
+    #: semantics: weighted multilevel Louvain with weights sim**edge_exp, run
+    #: per connected component — takco/cluster/cluster.py:74-106; see
+    #: operators/louvain.py for the exactness argument).
+    cluster_method: str = "cc"
+    #: Louvain edge-weight exponent (reference edge_exp, cluster.py:88).
+    louvain_edge_exp: float = 6.0
+    #: Louvain skew guard: components with more members than this keep their
+    #: CC label instead of running the per-component kernel (observable skip).
+    louvain_max_component: int = 5000
     #: clusters larger than this are re-sliced (reference max_cluster_size,
     #: wikitables.toml:168 = 250; 0 disables). On by default so every
     #: downstream per-cluster stage (refinement, alignment) sees a bounded

@@ -163,14 +163,27 @@ def run_pipeline(
     cc_meta: dict = {}
 
     def _components() -> DataFrame:
-        edges = pairs_scored.select(
-            F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
-        )
-        res = connected_components(edges, cfg.max_cc_iterations)
+        if cfg.cluster_method == "louvain":
+            # exact reference partitioning (weighted multilevel Louvain per
+            # connected component — operators/louvain.py)
+            from takco_spark.operators.louvain import louvain_clusters
+
+            lres = louvain_clusters(
+                pairs_scored.select("doc_id_1", "doc_id_2", "agg_sim"),
+                edge_exp=cfg.louvain_edge_exp,
+                max_component_size=cfg.louvain_max_component,
+                max_cc_iterations=cfg.max_cc_iterations,
+            )
+            res = lres.cc
+        else:
+            edges = pairs_scored.select(
+                F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+            )
+            res = connected_components(edges, cfg.max_cc_iterations)
         cc_meta["iterations"] = res.iterations
         cc_meta["converged"] = res.converged
         cc_meta["edge_counts"] = res.edge_counts
-        labels = res.labels
+        labels = lres.labels if cfg.cluster_method == "louvain" else res.labels
         if cfg.max_cluster_size:
             # rechunk scans its input 3× (sizes, big, small anti-join); the
             # label set is 2 narrow columns — persist beats recomputing the

@@ -94,76 +94,11 @@ def test_rechunk_oversized(spark):
 
 
 # --- G1 parity: CC(+refine) vs reference-style Louvain -----------------------
+# (the sequential Louvain oracle was promoted to a first-class operator in
+# round 5 — operators/louvain.py; this test keeps using it as the semantic
+# reference for the CC+refine substitution)
 
-def _louvain_phase1(adj, selfw):
-    """One Louvain local-move phase (modularity, weighted). Deterministic
-    node order; returns (community assignment, any_node_moved)."""
-    nodes = sorted(adj)
-    k = {u: 2.0 * selfw[u] + sum(adj[u].values()) for u in nodes}
-    m2 = sum(k.values())
-    com = {u: u for u in nodes}
-    ctot = {u: k[u] for u in nodes}
-    if m2 <= 0:
-        return com, False
-    moved_any = False
-    improved = True
-    while improved:
-        improved = False
-        for u in nodes:
-            cu = com[u]
-            neigh = {}
-            for v, wt in adj[u].items():
-                neigh[com[v]] = neigh.get(com[v], 0.0) + wt
-            ctot[cu] -= k[u]
-            best_c = cu
-            best_gain = neigh.get(cu, 0.0) - ctot[cu] * k[u] / m2
-            for c in sorted(neigh):
-                gain = neigh[c] - ctot[c] * k[u] / m2
-                if gain > best_gain + 1e-12:
-                    best_c, best_gain = c, gain
-            com[u] = best_c
-            ctot[best_c] += k[u]
-            if best_c != cu:
-                improved = moved_any = True
-    return com, moved_any
-
-
-def _louvain(edge_sims, edge_exp=6):
-    """Reference-style Louvain (takco cluster.py:74-106: igraph
-    community_multilevel over weights sim**edge_exp), reimplemented as the
-    standard two-phase multilevel algorithm. Test-only oracle."""
-    adj, selfw = {}, {}
-    for (u, v), s in edge_sims.items():
-        wt = float(s) ** edge_exp
-        if u == v:
-            selfw[u] = selfw.get(u, 0.0) + wt
-            continue
-        adj.setdefault(u, {})
-        adj.setdefault(v, {})
-        adj[u][v] = adj[u].get(v, 0.0) + wt
-        adj[v][u] = adj[v].get(u, 0.0) + wt
-    for u in adj:
-        selfw.setdefault(u, 0.0)
-    node_map = {u: u for u in adj}
-    while True:
-        com, moved = _louvain_phase1(adj, selfw)
-        if not moved:
-            return node_map
-        node_map = {n: com[s] for n, s in node_map.items()}
-        nadj, nself = {}, {}
-        for u, nbrs in adj.items():
-            cu = com[u]
-            nself[cu] = nself.get(cu, 0.0) + selfw[u]
-            for v, wt in nbrs.items():
-                cv = com[v]
-                if cu == cv:
-                    nself[cu] = nself.get(cu, 0.0) + wt / 2.0
-                else:
-                    nadj.setdefault(cu, {})
-                    nadj[cu][cv] = nadj[cu].get(cv, 0.0) + wt
-        for c in nself:
-            nadj.setdefault(c, {})
-        adj, selfw = nadj, nself
+from takco_spark.operators.louvain import louvain_partition as _louvain
 
 
 def test_cc_refine_matches_louvain_wikitables_regime(spark):
