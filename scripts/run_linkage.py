@@ -94,6 +94,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable strict within-cluster refinement at this "
                         "threshold")
     p.add_argument("--max-cluster-size", type=int, default=d.max_cluster_size)
+    p.add_argument("--cluster-method", choices=("cc", "louvain"),
+                   default=d.cluster_method,
+                   help="graph partition: 'cc' (scalable large-star/small-"
+                        "star; pair with --refine-threshold) or 'louvain' "
+                        "(exact reference semantics, weighted multilevel "
+                        "Louvain per connected component)")
+    p.add_argument("--louvain-edge-exp", type=float,
+                   default=d.louvain_edge_exp,
+                   help="Louvain edge-weight exponent (reference edge_exp)")
     p.add_argument("--use-tfidf", action="store_true")
     p.add_argument("--use-embedding", action="store_true")
     p.add_argument("--use-media", action="store_true",
@@ -117,6 +126,8 @@ def config_from_args(args: argparse.Namespace):
         align_mode=args.align_mode,
         refine_threshold=args.refine_threshold,
         max_cluster_size=args.max_cluster_size,
+        cluster_method=args.cluster_method,
+        louvain_edge_exp=args.louvain_edge_exp,
         use_tfidf=args.use_tfidf,
         use_embedding=args.use_embedding,
         use_media=args.use_media,

@@ -98,6 +98,31 @@ def test_knn_ivf_plan_is_equi_join(spark):
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2
 
 
+def test_louvain_plan_shape(spark):
+    """The Louvain tier's Python surface must be exactly ONE cogroup
+    FlatMapCoGroupsInPandas (the per-component kernel) — members and sims
+    each shuffle once as rows, no collect_list packing, no row-at-a-time
+    Python — and both cogroup sides must hang off explicit repartitions on
+    the component key (the AQE-coalescing defense shared with refine)."""
+    import re
+
+    from takco_spark.operators.louvain import louvain_clusters
+
+    sims = spark.createDataFrame(
+        [(f"d{i}", f"d{i+1}", 0.9) for i in range(20)],
+        "doc_id_1 string, doc_id_2 string, agg_sim double",
+    )
+    out = louvain_clusters(sims).labels
+    plan = _plan(out)
+    assert len(re.findall(r"\(\d+\) FlatMapCoGroupsInPandas", plan)) == 1
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan  # m2 is a pre-computed scalar
+    # both cogroup sides repartitioned by the component key (explicit
+    # repartition exchanges are exempt from AQE byte-based coalescing)
+    assert len(re.findall(r"hashpartitioning\(component_id", plan)) >= 1
+    assert len(re.findall(r"hashpartitioning\(_cid", plan)) >= 1
+
+
 def test_media_path_is_pure_jvm(spark):
     """The media blocker + media_jacc matcher must add ZERO Python to the
     plan (exact-key identity + set algebra — PLANS.md media-matcher claim)
