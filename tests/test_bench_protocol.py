@@ -119,6 +119,76 @@ def test_cross_run_table_rows_archives_plus_current(tmp_path, monkeypatch):
     assert "**0.808**" in md
 
 
+def _fake_full_run(raw, c4, probe1, probe4, aligned=False, partial=False):
+    r = _fake_run(300.0, c4, 2, raw, 0.8, round(raw / 0.8, 3))
+    r["partial"] = partial
+    r["er_scaling"]["n_docs"] = 600000
+    r["er_scaling"]["paired_normalized"] = {
+        "probe_best_s": {"1": probe1, "4": probe4},
+        "paired_efficiency": raw,
+        "credible": True,
+    }
+    if aligned:
+        r["aligned_scaling"] = {
+            "scaling_efficiency": 0.9,
+            "wall_s": {"1": 150.0, "4": 42.0},
+            "n_entities": 30000,
+            "paired_normalized": {"probe_best_s": {"1": 11.0, "4": 3.5}},
+        }
+    return r
+
+
+def test_archived_best_picks_max_raw_and_counts_targets(tmp_path):
+    import json as _json
+    d = tmp_path / "BENCH"
+    d.mkdir()
+    (d / "result_run_a.json").write_text(
+        _json.dumps(_fake_full_run(0.828, 104.7, 10.5, 3.1)))
+    (d / "result_run_b.json").write_text(
+        _json.dumps(_fake_full_run(0.495, 266.8, 12.0, 3.6)))
+    # a partial (timed-out) run must never be counted as banked evidence
+    (d / "result_run_c.json").write_text(
+        _json.dumps(_fake_full_run(0.99, 90.0, 9.0, 3.0, partial=True)))
+    best = bench._archived_scaling_best(bench_dir=d)
+    assert best["raw_efficiency"] == 0.828
+    assert best["file"] == "BENCH/result_run_a.json"
+    assert best["runs_total"] == 2
+    assert best["runs_meeting_target"] == 1
+    assert best["wall_s"]["4"] == 104.7
+    # no archives at all -> None, not a crash
+    empty = tmp_path / "EMPTY"
+    empty.mkdir()
+    assert bench._archived_scaling_best(bench_dir=empty) is None
+
+
+def test_archived_probe_floor_spans_runs_and_blocks(tmp_path):
+    import json as _json
+    d = tmp_path / "BENCH"
+    d.mkdir()
+    (d / "result_run_a.json").write_text(
+        _json.dumps(_fake_full_run(0.828, 104.7, 10.5, 3.1, aligned=True)))
+    (d / "result_run_b.json").write_text(
+        _json.dumps(_fake_full_run(0.495, 266.8, 12.0, 2.9)))
+    floor = bench._archived_probe_floor(bench_dir=d)
+    # min across runs AND across flagship/aligned blocks within a run
+    assert floor == {1: 10.5, 4: 2.9}
+
+
+def test_cross_run_probe_floor_credits_all_degraded_run():
+    # every window THIS run saw was ~2x degraded (probes 20/8 vs committed
+    # floor 10/4, hitting c4 harder as measured): in-run paired can't see
+    # it, the cross-run floor credits both levels back
+    walls = {1: [200.0], 4: [125.0]}
+    meta = {1: _meta([[20.0, 20.0]]), 4: _meta([[16.0, 16.0]])}
+    in_run = bench._paired_normalized(walls, meta, [1, 4], n_docs=1000)
+    assert in_run["deflation"] == {"1": 1.0, "4": 1.0}  # blind to it
+    xrun = bench._paired_normalized(walls, meta, [1, 4], n_docs=1000,
+                                    probe_floor={1: 10.0, 4: 4.0})
+    assert xrun["deflation"] == {"1": 2.0, "4": 4.0}
+    assert xrun["norm_wall_s"] == {"1": 100.0, "4": 31.25}
+    assert xrun["paired_efficiency"] == 0.8
+
+
 def test_cross_run_table_dedupes_spliced_current(tmp_path, monkeypatch):
     # an --aligned-scaling-only splice re-renders an archived run: the
     # current RESULT must not produce a duplicate row
