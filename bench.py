@@ -1517,8 +1517,9 @@ All walls: {json.dumps(al['all_walls'])}; per-leg noise:
 {json.dumps(al['leg_meta'])}
 
 The aligned path shows the same window-dependence as the flagship block
-(see the cross-run section above). Same protocol across the banked runs
-at 120k docs: run A (08-18, mixed window) c1 241.69 / c4 65.72 → raw
+(see the cross-run section above; the run letters in THIS paragraph index
+aligned blocks, not the full-run table above). Same protocol across the
+banked runs at 120k docs: aligned run A (08-18, mixed window) c1 241.69 / c4 65.72 → raw
 0.919 (paired 1.043); run B (08-18, quietest window) c1 148.11 / c4
 58.22 → raw 0.636; run C (08-19, zstd) c1 188.38 / c4 76.58 → raw 0.615
 — absolute walls improve with quieter windows at both levels, the raw
@@ -1529,24 +1530,27 @@ bench now spends leftover budget on extra aligned legs (the `aligned_fill`
 phase — fewest-samples level first, min-wall folded in-run), so later
 runs carry more than one c1 sample when the budget allows — the
 aligned-only refresh (08-19, 120k, two c4 legs) banked raw 0.739 /
-paired 0.847, the best 120k evidence. Run D
+paired 0.847, the best 120k evidence. Aligned run D
 (08-19, quiet window, corpus DOUBLED to 240k docs) c1 334.77 / c4 101.67
 → raw 0.823 (paired 0.873, selected-leg deflation ≤ 1.06 — an
-essentially raw measurement). Run E (08-19, strict-quiet window — probes
+essentially raw measurement). Aligned run E (08-19, strict-quiet window — probes
 c4 4.37 / c1 11.8 at fire time, every leg steal ≤ 0.01 — corpus DOUBLED
 again to 480k docs) c1 633.83 / c4 167.92 → raw 0.944 (paired 0.986,
 selected-leg deflation ≤ 1.09). Two earlier 480k attempts in degraded
 windows were measured and DISCARDED by the credibility gate (raw 1.081
 superlinear / paired not credible at c4 deflation 1.68; raw 0.88 with a
-~1.3×-degraded c1 leg inflating the ratio) — the banked run E is the
+~1.3×-degraded c1 leg inflating the ratio) — the banked aligned run E is the
 first whose both legs ran clean. The two-cluster-size criterion's trend
 is monotone and strong: 120k → 240k → 480k docs lifts raw N→4N 0.739 →
 0.823 → 0.944, because the fixed-latency stages are O(rounds), not
 O(docs) (see the stage-level decomposition below).
 """)
     else:
-        parts.append("(aligned scaling block not measured in this run — "
-                     "budget; see a prior BENCH result for the last banked "
+        why = ("degraded-window triage (see the scaling section above) — "
+               "the banked aligned numbers in the archives stand"
+               if RESULT.get("triage") else "budget")
+        parts.append(f"(aligned scaling block not measured in this run — "
+                     f"{why}; see a prior BENCH result for the last banked "
                      "number)\n")
     runs, scale_runs = [], []
     for p in sorted((REPO / "BENCH").glob("aligned_stage_run_c*.json")):
@@ -1760,6 +1764,8 @@ _RUN_NOTES = {
     "result_run_20260819_zstd.json": ("C", "08-19, zstd shuffle"),
     "result_run_20260820_degradedwindow.json":
         ("D (degraded window)", "08-20, zstd shuffle"),
+    "result_run_20260820_triagewindow.json":
+        ("E (degraded; triage fired)", "08-20, zstd + triage"),
 }
 
 
@@ -1825,6 +1831,19 @@ def _cross_run_md() -> str:
             "run C remains the best machine-credible run for headline "
             "claims, exactly as the protocol section describes.\n"
             if any(p.name == "result_run_20260820_degradedwindow.json"
+                   for p in files) else "")
+        + (
+            "\nRun E exercised the degraded-window triage end-to-end: "
+            "block 1 measured a 4N wall 1.94× the fastest archived one, so "
+            "the aligned block (banked in the other archives) was skipped "
+            "and the freed budget bought a second full block plus five "
+            "extra 4N legs — raw climbed 0.349 → 0.633 as the min "
+            "estimator caught better moments, while the same-run no-Spark "
+            "control managed only 0.722 (the window again could not "
+            "deliver 4× bandwidth to anything); machine-normalized 0.877 "
+            "and the cross-run probe-floor diagnostic 0.938 (credible) "
+            "recover the engine's number from the archives' best window.\n"
+            if any(p.name == "result_run_20260820_triagewindow.json"
                    for p in files) else "")
     )
 
@@ -2126,12 +2145,20 @@ def main() -> None:
     # is the binding north-rule criterion, and more legs are more chances
     # for the min estimator to catch a less-degraded moment.
     skip_aligned = False
-    arch = _archived_scaling_best()
     run_walls = RESULT["er_scaling"].get("wall_s") or {}
     hi_key = str(SCALE_N * 4)
-    if (arch and arch.get("wall_s") and arch.get("n_docs") == BENCH_DOCS
-            and hi_key in run_walls and hi_key in arch["wall_s"]):
-        ratio = run_walls[hi_key] / arch["wall_s"][hi_key]
+    # reference = the FASTEST archived 4N wall at this corpus size across
+    # all committed runs (not the best-efficiency run's wall — a run can
+    # have great efficiency with a mediocre absolute 4N wall)
+    arch_hi = [
+        ((r.get("er_scaling") or {}).get("wall_s") or {}).get(hi_key)
+        for name, r in _archived_runs()
+        if (r.get("er_scaling") or {}).get("n_docs") == BENCH_DOCS
+    ]
+    arch_hi = [w for w in arch_hi if isinstance(w, (int, float))]
+    if arch_hi and hi_key in run_walls:
+        best_hi = min(arch_hi)
+        ratio = run_walls[hi_key] / best_hi
         if ratio > 1.7 and any(
                 "aligned_scaling" in r for _, r in _archived_runs()):
             skip_aligned = True
@@ -2142,10 +2169,9 @@ def main() -> None:
                            "flagship scaling legs"),
             }
             print(f"# triage: 4N wall {run_walls[hi_key]}s is "
-                  f"{ratio:.2f}x the archived best "
-                  f"({arch['wall_s'][hi_key]}s, {arch['file']}) — "
-                  "skipping the aligned block, buying flagship legs",
-                  file=sys.stderr)
+                  f"{ratio:.2f}x the fastest archived 4N wall "
+                  f"({best_hi}s) — skipping the aligned block, buying "
+                  "flagship legs", file=sys.stderr)
 
     # aligned-path scaling block (r4 verdict task 7): the max1+refine
     # pipeline gets its own banked N→4N number on a corpus 10× the headline
