@@ -546,6 +546,165 @@ def _pipeline_run(cores: int, n_docs: int) -> None:
     spark.stop()
 
 
+#: memory per 1-core executor in cluster-mode legs (MB) — the same
+#: 12 GB/core the local[N] protocol holds constant across levels
+CLUSTER_EXEC_MEM_MB = int(
+    os.environ.get("SPARK_GRAFT_CLUSTER_EXEC_MEM_MB", "12288"))
+
+
+def _cluster_pipeline_run(n_exec: int, n_docs: int) -> None:
+    """Child-process entry: one ER pipeline run on ``local-cluster[N,1,M]``
+    — REAL separate executor JVMs (Spark's standalone test mode), the
+    closest single-host analog to an N-executor cluster the sandbox allows.
+    Each executor gets 1 core and the same 12 GB/core the local[N] protocol
+    uses, so N vs 4N EXECUTORS is compared under the fixed-executor-size
+    discipline of a real cluster resize. Python workers on the executors
+    import the package via the session factory's PYTHONPATH export (the
+    local analog of ``spark-submit --py-files``; the spark-submit path
+    itself is proven with a real subprocess in tests/test_submit_script.py).
+    """
+    from takco_spark.config import PipelineConfig
+    from takco_spark.plans.pipeline import run_pipeline
+    from takco_spark.session import get_spark
+
+    # the driver JVM only schedules here — executors own the heap
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+    # standalone workers ignore spark.local.dir (cluster-manager-owned) and
+    # read SPARK_LOCAL_DIRS from their env instead — point executors at the
+    # same tmpfs the thread-mode legs shuffle on, so N vs 4N compares
+    # executor topology, not /tmp-vs-/dev/shm storage weather
+    if os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/spark-local", exist_ok=True)
+        os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+    master = f"local-cluster[{n_exec},1,{CLUSTER_EXEC_MEM_MB}]"
+    spark = get_spark(
+        app_name=f"bench-cluster-{n_exec}", master=master,
+        extra_conf={"spark.executor.memory": f"{CLUSTER_EXEC_MEM_MB}m"},
+    )
+    docs = _bench_corpus(spark, n_docs, n_exec * 4).persist()
+    docs.count()  # materialize input (and wait out executor registration)
+    _warm(spark, n_exec)
+    t0 = time.time()
+    res = run_pipeline(spark, docs, PipelineConfig())
+    res.components.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    print(json.dumps({"cores": n_exec, "n_docs": n_docs, "wall_s": wall}))
+    spark.stop()
+
+
+def _cluster_scaling_only(budget_s: float = 2400.0) -> None:
+    """Standalone mode: N vs 4N EXECUTOR-JVM scaling evidence
+    (``bench.py --cluster-scaling-only [budget_s]``).
+
+    Same estimator and protocol as the flagship thread-mode block (fresh
+    driver JVM per leg, interleaved [4N, 4N, N] then leftover-budget 4N
+    fills, paired machine probes, min-wall per level) but each leg runs the
+    pipeline on real separate executor processes via local-cluster. Persists
+    ``BENCH/cluster_scaling.json``, which _write_bench_md renders as its own
+    section — so the evidence survives later full-bench re-renders the same
+    way the per-stage tables do."""
+    deadline = time.time() + budget_s
+    lo, hi = SCALE_N, SCALE_N * 4
+    if not os.path.exists(f"{_bench_corpus_path(BENCH_DOCS)}/_SUCCESS"):
+        from takco_spark.session import get_spark, stop_spark
+
+        spark = get_spark(app_name="bench-fixtures", master=f"local[{CPUS}]")
+        _bench_corpus(spark, BENCH_DOCS, CPUS * 4)
+        stop_spark()
+    walls: dict[int, list[float]] = {lo: [], hi: []}
+    meta: dict[int, list[dict]] = {lo: [], hi: []}
+    est = {lo: 700.0, hi: 350.0}
+
+    def leg(c: int) -> None:
+        remaining = deadline - time.time()
+        if remaining < est[c] * 0.8:
+            print(f"# cluster leg exec={c} skipped ({remaining:.0f}s left)",
+                  file=sys.stderr)
+            return
+        r = _fresh_run(c, BENCH_DOCS, timeout_s=remaining + 60.0,
+                       mode="--cluster-run")
+        if r is not None:
+            walls[c].append(r[0])
+            meta[c].append(r[1])
+            est[c] = min(est[c], r[0] + 120.0)
+
+    for c in (hi, hi, lo):  # 4N first: the noise-exposed level
+        leg(c)
+    while time.time() + est[hi] < deadline and len(walls[hi]) < 6:
+        leg(hi)
+    if not (walls[lo] and walls[hi]):
+        print("# cluster scaling: no complete N/4N pair within budget",
+              file=sys.stderr)
+        return
+    best = {c: min(ws) for c, ws in walls.items()}
+    dps = {c: BENCH_DOCS / w for c, w in best.items()}
+    out = {
+        "mode": "local-cluster (separate executor JVMs, 1 core × "
+                f"{CLUSTER_EXEC_MEM_MB} MB each)",
+        "n_docs": BENCH_DOCS,
+        "levels": [lo, hi],
+        "wall_s": {str(c): round(best[c], 2) for c in (lo, hi)},
+        "docs_per_sec": {str(c): round(dps[c], 1) for c in (lo, hi)},
+        "scaling_efficiency": round((dps[hi] / dps[lo]) / (hi // lo), 3),
+        "all_walls": {str(c): [round(w, 2) for w in ws]
+                      for c, ws in walls.items()},
+        "leg_meta": {str(c): m for c, m in meta.items()},
+        "run_date": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+    }
+    paired = _paired_normalized(walls, meta, [lo, hi], BENCH_DOCS,
+                                probe_floor=_archived_probe_floor())
+    if paired is not None:
+        out["paired_normalized_cross_run_floor"] = paired
+    (REPO / "BENCH").mkdir(exist_ok=True)
+    (REPO / "BENCH" / "cluster_scaling.json").write_text(
+        json.dumps(out, indent=1))
+    print(json.dumps(out))
+
+
+def _cluster_md() -> str:
+    """Executor-JVM scaling section, rendered from the persisted
+    ``BENCH/cluster_scaling.json`` (same survives-re-render pattern as the
+    per-stage tables)."""
+    p = REPO / "BENCH" / "cluster_scaling.json"
+    try:
+        d = json.loads(p.read_text())
+    except (OSError, ValueError):
+        return ""
+    lo, hi = d["levels"]
+    paired = d.get("paired_normalized_cross_run_floor") or {}
+    return f"""## Executor-JVM scaling evidence (local-cluster mode)
+
+The thread-mode evidence above shares one JVM across task slots; this
+section re-measures the same job ({d['n_docs']} docs, same protocol: fresh
+driver per leg, interleaved legs, paired probes, min-wall) with REAL
+separate executor processes — ``local-cluster[N,1,{CLUSTER_EXEC_MEM_MB}]``,
+Spark's standalone test mode — so N → 4N is literally 1 → 4 executor JVMs
+of fixed size (1 core × 12 GB), each with its own heap, Python workers,
+and shuffle server, registered over loopback. This is the north rule's
+"N and 4N executors" criterion in its most literal sandbox-expressible
+form ({d['run_date']}):
+
+| executors | wall (s) | docs/sec |
+|---|---|---|
+| {lo} (N) | {d['wall_s'][str(lo)]} | {d['docs_per_sec'][str(lo)]} |
+| {hi} (4N) | {d['wall_s'][str(hi)]} | {d['docs_per_sec'][str(hi)]} |
+
+**Executor-JVM scaling efficiency N→4N: {d['scaling_efficiency']}**"""+ (
+        f" (paired, cross-run probe floor: {paired['paired_efficiency']}"
+        + ("" if paired.get('credible', True) else " — NOT CREDIBLE")
+        + ")" if paired else "") + f"""
+
+All walls: {json.dumps(d['all_walls'])}; per-leg noise:
+{json.dumps(d['leg_meta'])}
+
+Executor-mode legs carry the costs a real cluster pays that thread-local
+mode hides — executor JVM boot + registration, cross-process shuffle
+fetches over the block-transfer service, per-executor Python worker pools
+— so this number is the more deployment-faithful of the two; the
+thread-mode block above has more banked samples across more windows.
+"""
+
+
 def _aligned_bench_corpus_path(n_entities: int) -> str:
     base = os.environ.get(
         "SPARK_GRAFT_FIXTURE_DIR",
@@ -1932,6 +2091,7 @@ engine. Two answers, both banked:
    run B, 1.599 — short probes sample the bandwidth weather too coarsely
    when legs differ 5×; machine-normalized is the number to read.)
 
+""" + _cluster_md() + f"""
 ## Why N={lo} → 4N={hi}: the measured hardware ceiling
 
 The host exposes 32 vCPUs over ~16 physical SMT cores and is SHARED with
@@ -2057,6 +2217,15 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--aligned-pipeline-run":
         _aligned_pipeline_run(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--cluster-run":
+        _cluster_pipeline_run(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--cluster-scaling-only":
+        signal.signal(signal.SIGTERM, _on_term_internal)
+        signal.signal(signal.SIGINT, _on_term_internal)
+        _cluster_scaling_only(
+            float(sys.argv[2]) if len(sys.argv) > 2 else 2400.0)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--aligned-scaling-only":
         signal.signal(signal.SIGTERM, _on_term_internal)

@@ -148,7 +148,23 @@ def get_spark(
         confs["spark.driver.memory"] = os.environ.get(
             "SPARK_GRAFT_DRIVER_MEM", "48g"
         )
-    if shuffle_partitions is None and master.startswith("local["):
+    if shuffle_partitions is None and master.startswith("local-cluster["):
+        # local-cluster[nExec, coresPerExec, memMB]: REAL separate executor
+        # JVMs on one host (Spark's standalone test mode) — the closest
+        # sandbox analog to an N-executor cluster. Size shuffle/parallelism
+        # from TOTAL executor cores exactly like the cluster guidance
+        # (2-4× total cores), not Spark's 200 default — at 4 total cores a
+        # 200-partition shuffle is pure scheduling overhead per CC round.
+        inner = master[len("local-cluster[") : -1]
+        try:
+            n_exec, cores_per, _mem = (int(x.strip())
+                                       for x in inner.split(","))
+            total = max(1, n_exec * cores_per)
+            shuffle_partitions = max(16, 4 * total)
+            confs["spark.default.parallelism"] = str(3 * total)
+        except ValueError:
+            shuffle_partitions = 64
+    elif shuffle_partitions is None and master.startswith("local["):
         inner = master[len("local[") : -1]
         try:
             cores = os.cpu_count() or 8 if inner == "*" else int(inner)
