@@ -592,19 +592,44 @@ def _cluster_pipeline_run(n_exec: int, n_docs: int) -> None:
     spark.stop()
 
 
-def _cluster_scaling_only(budget_s: float = 2400.0) -> None:
+def _cluster_scaling_only(budget_s: float = 2400.0,
+                          base_n: int | None = None) -> None:
     """Standalone mode: N vs 4N EXECUTOR-JVM scaling evidence
-    (``bench.py --cluster-scaling-only [budget_s]``).
+    (``bench.py --cluster-scaling-only [budget_s] [base_n]``).
 
     Same estimator and protocol as the flagship thread-mode block (fresh
     driver JVM per leg, interleaved [4N, 4N, N] then leftover-budget 4N
     fills, paired machine probes, min-wall per level) but each leg runs the
-    pipeline on real separate executor processes via local-cluster. Persists
-    ``BENCH/cluster_scaling.json``, which _write_bench_md renders as its own
-    section — so the evidence survives later full-bench re-renders the same
-    way the per-stage tables do."""
+    pipeline on real separate executor processes via local-cluster.
+
+    ``base_n`` picks the cluster sizes (N and 4N executors; default 2 →
+    a 2-vs-8-executor resize). N=1 is supported but topology-degenerate as
+    a baseline: a single executor fetches every shuffle block locally and
+    amortizes one JVM's JIT over the whole job, while N=4 pays 75% remote
+    fetches — so 1→4 mixes resize scaling with the one-off cost of having
+    inter-executor traffic at all. With N≥2 both levels pay IPC (remote
+    block fraction (N-1)/N vs (4N-1)/4N) and the number measures what a
+    real resize measures. Runs are keyed by their levels in
+    ``BENCH/cluster_scaling.json`` (old single-run files are migrated), so
+    both topologies stay banked and rendered.
+
+    Per-executor memory follows the thread-protocol 12 GB/core but is
+    capped so the 4N level's aggregate heap stays under ~70% of physical
+    RAM, and the SAME per-executor figure is used at both levels
+    (fixed-executor-size discipline)."""
     deadline = time.time() + budget_s
-    lo, hi = SCALE_N, SCALE_N * 4
+    if base_n is None:
+        base_n = int(os.environ.get("SPARK_GRAFT_CLUSTER_N", "2"))
+    lo, hi = base_n, base_n * 4
+    # fixed executor size across levels, capped by the 4N level's footprint
+    try:
+        with open("/proc/meminfo") as fh:
+            mem_mb = int(next(ln for ln in fh
+                              if ln.startswith("MemTotal")).split()[1]) // 1024
+        per_exec = min(CLUSTER_EXEC_MEM_MB, int(0.7 * mem_mb / hi))
+    except (OSError, StopIteration, ValueError):
+        per_exec = CLUSTER_EXEC_MEM_MB
+    os.environ["SPARK_GRAFT_CLUSTER_EXEC_MEM_MB"] = str(per_exec)
     if not os.path.exists(f"{_bench_corpus_path(BENCH_DOCS)}/_SUCCESS"):
         from takco_spark.session import get_spark, stop_spark
 
@@ -613,7 +638,9 @@ def _cluster_scaling_only(budget_s: float = 2400.0) -> None:
         stop_spark()
     walls: dict[int, list[float]] = {lo: [], hi: []}
     meta: dict[int, list[dict]] = {lo: [], hi: []}
-    est = {lo: 700.0, hi: 350.0}
+    # measured 2026-08-20 (1-exec 317 s, 4-exec first-leg 239 s at 600k
+    # docs): scale the lo estimate by base_n from the 1-exec anchor
+    est = {lo: max(250.0, 750.0 / lo), hi: 350.0}
 
     def leg(c: int) -> None:
         remaining = deadline - time.time()
@@ -640,7 +667,7 @@ def _cluster_scaling_only(budget_s: float = 2400.0) -> None:
     dps = {c: BENCH_DOCS / w for c, w in best.items()}
     out = {
         "mode": "local-cluster (separate executor JVMs, 1 core × "
-                f"{CLUSTER_EXEC_MEM_MB} MB each)",
+                f"{per_exec} MB each)",
         "n_docs": BENCH_DOCS,
         "levels": [lo, hi],
         "wall_s": {str(c): round(best[c], 2) for c in (lo, hi)},
@@ -656,52 +683,85 @@ def _cluster_scaling_only(budget_s: float = 2400.0) -> None:
     if paired is not None:
         out["paired_normalized_cross_run_floor"] = paired
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "cluster_scaling.json").write_text(
-        json.dumps(out, indent=1))
+    path = REPO / "BENCH" / "cluster_scaling.json"
+    runs: dict[str, dict] = {}
+    try:
+        prev = json.loads(path.read_text())
+        if "runs" in prev:
+            runs = prev["runs"]
+        elif "levels" in prev:  # migrate the old single-run format
+            runs[f"{prev['levels'][0]}->{prev['levels'][1]}"] = prev
+    except (OSError, ValueError):
+        pass
+    runs[f"{lo}->{hi}"] = out
+    path.write_text(json.dumps({"runs": runs}, indent=1))
     print(json.dumps(out))
 
 
 def _cluster_md() -> str:
     """Executor-JVM scaling section, rendered from the persisted
     ``BENCH/cluster_scaling.json`` (same survives-re-render pattern as the
-    per-stage tables)."""
+    per-stage tables). Renders every banked topology (e.g. 1→4 and 2→8)
+    with its remote-shuffle-fraction context."""
     p = REPO / "BENCH" / "cluster_scaling.json"
     try:
-        d = json.loads(p.read_text())
+        raw = json.loads(p.read_text())
     except (OSError, ValueError):
         return ""
-    lo, hi = d["levels"]
-    paired = d.get("paired_normalized_cross_run_floor") or {}
-    return f"""## Executor-JVM scaling evidence (local-cluster mode)
+    runs = raw.get("runs") or (
+        {f"{raw['levels'][0]}->{raw['levels'][1]}": raw}
+        if "levels" in raw else {})
+    if not runs:
+        return ""
 
-The thread-mode evidence above shares one JVM across task slots; this
-section re-measures the same job ({d['n_docs']} docs, same protocol: fresh
-driver per leg, interleaved legs, paired probes, min-wall) with REAL
-separate executor processes — ``local-cluster[N,1,{CLUSTER_EXEC_MEM_MB}]``,
-Spark's standalone test mode — so N → 4N is literally 1 → 4 executor JVMs
-of fixed size (1 core × 12 GB), each with its own heap, Python workers,
-and shuffle server, registered over loopback. This is the north rule's
-"N and 4N executors" criterion in its most literal sandbox-expressible
-form ({d['run_date']}):
+    def one(d: dict) -> str:
+        lo, hi = d["levels"]
+        paired = d.get("paired_normalized_cross_run_floor") or {}
+        rf = lambda n: f"{100.0 * (n - 1) / n:.0f}%"
+        return f"""### {lo} → {hi} executors ({d['run_date']})
 
-| executors | wall (s) | docs/sec |
-|---|---|---|
-| {lo} (N) | {d['wall_s'][str(lo)]} | {d['docs_per_sec'][str(lo)]} |
-| {hi} (4N) | {d['wall_s'][str(hi)]} | {d['docs_per_sec'][str(hi)]} |
+| executors | wall (s) | docs/sec | remote shuffle blocks |
+|---|---|---|---|
+| {lo} (N) | {d['wall_s'][str(lo)]} | {d['docs_per_sec'][str(lo)]} | ~{rf(lo)} |
+| {hi} (4N) | {d['wall_s'][str(hi)]} | {d['docs_per_sec'][str(hi)]} | ~{rf(hi)} |
 
-**Executor-JVM scaling efficiency N→4N: {d['scaling_efficiency']}**"""+ (
-        f" (paired, cross-run probe floor: {paired['paired_efficiency']}"
-        + ("" if paired.get('credible', True) else " — NOT CREDIBLE")
-        + ")" if paired else "") + f"""
+**Executor-JVM scaling efficiency N→4N: {d['scaling_efficiency']}**""" + (
+            f" (paired, cross-run probe floor: {paired['paired_efficiency']}"
+            + ("" if paired.get("credible", True) else " — NOT CREDIBLE")
+            + ")" if paired else "") + f"""
 
 All walls: {json.dumps(d['all_walls'])}; per-leg noise:
 {json.dumps(d['leg_meta'])}
+"""
 
-Executor-mode legs carry the costs a real cluster pays that thread-local
-mode hides — executor JVM boot + registration, cross-process shuffle
-fetches over the block-transfer service, per-executor Python worker pools
-— so this number is the more deployment-faithful of the two; the
-thread-mode block above has more banked samples across more windows.
+    body = "\n".join(one(d) for _, d in sorted(
+        runs.items(), key=lambda kv: kv[1]["levels"][0]))
+    n_docs = next(iter(runs.values()))["n_docs"]
+    return f"""## Executor-JVM scaling evidence (local-cluster mode)
+
+The thread-mode evidence above shares one JVM across task slots; this
+section re-measures the same job ({n_docs} docs, same protocol: fresh
+driver per leg, interleaved legs, paired probes, min-wall) with REAL
+separate executor processes — ``local-cluster[N,1,mem]``, Spark's
+standalone test mode — so N → 4N is literally N → 4N executor JVMs of
+fixed size (1 core each, per-executor heap capped so the 4N level fits in
+~70% of physical RAM), each with its own heap, Python workers, and shuffle
+server, registered over loopback. This is the north rule's "N and 4N
+executors" criterion in its most literal sandbox-expressible form.
+
+{body}
+How to read the topologies: a 1-executor "cluster" fetches every shuffle
+block process-locally and amortizes a single JVM's JIT over the whole job,
+so the 1→4 number folds the one-time cost of HAVING inter-executor
+traffic (75% remote blocks at 4N vs 0% at N) into the resize. From N=2 up
+both levels pay IPC — remote block fraction (N-1)/N — which is what an
+actual cluster resize changes, so the N≥2 row is the deployment-faithful
+resize number and 1→4 is the stress bound. Executor-mode legs also carry
+costs thread-local mode hides (executor boot + registration, cross-process
+fetches through the block-transfer service, per-executor Python worker
+pools); the thread-mode block above has more banked samples across more
+windows. All walls on one SHARED ~16-physical-core host — per-leg probe
+metadata attributes window noise.
 """
 
 
@@ -2225,7 +2285,9 @@ def main() -> None:
         signal.signal(signal.SIGTERM, _on_term_internal)
         signal.signal(signal.SIGINT, _on_term_internal)
         _cluster_scaling_only(
-            float(sys.argv[2]) if len(sys.argv) > 2 else 2400.0)
+            float(sys.argv[2]) if len(sys.argv) > 2 else 2400.0,
+            int(sys.argv[3]) if len(sys.argv) > 3 else None)
+        _write_bench_md()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--aligned-scaling-only":
         signal.signal(signal.SIGTERM, _on_term_internal)

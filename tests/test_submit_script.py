@@ -146,3 +146,62 @@ def test_real_spark_submit_py_files(spark, tmp_path):
               .cast("long")).alias("both"),
     ).collect()[0]
     assert row["both"] == row["pred"] == row["gold"] > 0
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_real_spark_submit_multi_executor_cluster(spark, tmp_path):
+    """The full north-rule launch sentence in one subprocess: a REAL
+    ``spark-submit --py-files takco_spark.zip`` against a MULTI-EXECUTOR
+    master — ``local-cluster[2,1,1536]``, Spark's standalone test mode with
+    two separate 1-core executor JVMs. The job script is COPIED outside the
+    repo and PYTHONPATH is scrubbed from the child env, so the ONLY way the
+    driver or the executor Python workers can import takco_spark is the
+    shipped zip — this catches exactly the forgotten ``--py-files`` failure
+    mode the r4 advice warned about, on a master where executors are not
+    the driver's threads."""
+    repo = Path(__file__).resolve().parents[1]
+    zip_path = tmp_path / "takco_spark.zip"
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for p in sorted((repo / "takco_spark").rglob("*.py")):
+            zf.write(p, p.relative_to(repo))
+    # copy the job script OUT of the repo: its sys.path bootstrap then
+    # points at tmp_path (no package there), so the zip is load-bearing
+    script = tmp_path / "scripts" / "run_linkage.py"
+    script.parent.mkdir()
+    shutil.copy(repo / "scripts" / "run_linkage.py", script)
+
+    inp = str(tmp_path / "docs.parquet")
+    outp = str(tmp_path / "labelled.parquet")
+    synth_documents(spark, 120, seed=42, partitions=4).write.parquet(inp)
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local-cluster[2,1,1536]",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.executor.memory=1g",
+         "--py-files", str(zip_path),
+         str(script),
+         "--input", inp, "--output", outp,
+         "--checkpoint-dir", str(tmp_path / "ckpt"), "--run-id", "submit2"],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats_line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    stats = json.loads(stats_line)
+    assert stats["stats"]["cc"]["converged"] is True
+
+    labelled = spark.read.parquet(outp)
+    assert labelled.count() == 120
+    pred = labelled.select("doc_id", "cluster_id", "true_entity")
+    a = pred.selectExpr("doc_id id1", "cluster_id c1", "true_entity e1")
+    b = pred.selectExpr("doc_id id2", "cluster_id c2", "true_entity e2")
+    pairs = a.crossJoin(b).where("id1 < id2")
+    row = pairs.agg(
+        F.sum((F.col("c1") == F.col("c2")).cast("long")).alias("pred"),
+        F.sum((F.col("e1") == F.col("e2")).cast("long")).alias("gold"),
+        F.sum(((F.col("c1") == F.col("c2")) & (F.col("e1") == F.col("e2")))
+              .cast("long")).alias("both"),
+    ).collect()[0]
+    assert row["both"] == row["pred"] == row["gold"] > 0
