@@ -552,6 +552,21 @@ CLUSTER_EXEC_MEM_MB = int(
     os.environ.get("SPARK_GRAFT_CLUSTER_EXEC_MEM_MB", "12288"))
 
 
+def _cluster_exec_conf(mem_mb: int) -> dict[str, str]:
+    """Executor confs shared by every local-cluster bench child."""
+    return {
+        "spark.executor.memory": f"{mem_mb}m",
+        # each executor JVM must size its GC/JIT/common pools to ITS 1-core
+        # allotment, not the 32 host vCPUs it can see: real cluster
+        # executors run under cgroup CPU quotas the JVM respects, but bare
+        # local-cluster JVMs do not — without this, 8 co-located executors
+        # spawn 8 × ~20 GC worker threads each and the measurement
+        # collapses under thread oversubscription (measured 2026-08-20,
+        # 600k docs, 8 exec: 121-225 s without → 78.7 s with)
+        "spark.executor.extraJavaOptions": "-XX:ActiveProcessorCount=1",
+    }
+
+
 def _cluster_pipeline_run(n_exec: int, n_docs: int) -> None:
     """Child-process entry: one ER pipeline run on ``local-cluster[N,1,M]``
     — REAL separate executor JVMs (Spark's standalone test mode), the
@@ -579,7 +594,7 @@ def _cluster_pipeline_run(n_exec: int, n_docs: int) -> None:
     master = f"local-cluster[{n_exec},1,{CLUSTER_EXEC_MEM_MB}]"
     spark = get_spark(
         app_name=f"bench-cluster-{n_exec}", master=master,
-        extra_conf={"spark.executor.memory": f"{CLUSTER_EXEC_MEM_MB}m"},
+        extra_conf=_cluster_exec_conf(CLUSTER_EXEC_MEM_MB),
     )
     docs = _bench_corpus(spark, n_docs, n_exec * 4).persist()
     docs.count()  # materialize input (and wait out executor registration)
@@ -657,8 +672,21 @@ def _cluster_scaling_only(budget_s: float = 2400.0,
 
     for c in (hi, hi, lo):  # 4N first: the noise-exposed level
         leg(c)
-    while time.time() + est[hi] < deadline and len(walls[hi]) < 6:
-        leg(hi)
+    # leftover budget: keep sampling BOTH levels (hi-leaning ~2:1 — the
+    # noise-exposed level needs more shots at a quiet window, but a
+    # min-wall from a single lo rep is no estimator either)
+    while (time.time() + min(est.values()) < deadline
+           and (len(walls[hi]) < 6 or len(walls[lo]) < 4)):
+        c = (lo if (len(walls[lo]) < 4
+                    and (len(walls[lo]) + 1) * 2 <= len(walls[hi]) + 1)
+             else hi)
+        if len(walls[hi]) >= 6:
+            c = lo
+        if time.time() + est[c] >= deadline:
+            c = lo if c == hi else hi
+            if time.time() + est[c] >= deadline:
+                break
+        leg(c)
     if not (walls[lo] and walls[hi]):
         print("# cluster scaling: no complete N/4N pair within budget",
               file=sys.stderr)
@@ -737,6 +765,44 @@ All walls: {json.dumps(d['all_walls'])}; per-leg noise:
     body = "\n".join(one(d) for _, d in sorted(
         runs.items(), key=lambda kv: kv[1]["levels"][0]))
     n_docs = next(iter(runs.values()))["n_docs"]
+
+    # executor-mode per-stage attribution (bench.py --cluster-stage-run)
+    xstage = []
+    for p in sorted((REPO / "BENCH").glob("stage_run_x*.json")):
+        try:
+            xstage.append(json.loads(p.read_text()))
+        except (OSError, ValueError):
+            continue
+    stage_md = ""
+    if xstage:
+        xstage.sort(key=lambda r: r["cores"])
+        stages = ["features", "blocking", "cand_pairs", "scoring", "cc",
+                  "total", "control_jw"]
+        hdr = ("| stage | " + " | ".join(
+            f"{r['cores']} exec (s)" for r in xstage)
+            + (" | speedup |" if len(xstage) == 2 else " |"))
+        sep = "|---" * (len(xstage) + 1
+                        + (1 if len(xstage) == 2 else 0)) + "|"
+        lines = [hdr, sep]
+        for st in stages:
+            vals = [r["stage_walls"].get(st) for r in xstage]
+            row = "| " + st + " | " + " | ".join(
+                "-" if v is None else str(v) for v in vals)
+            if len(xstage) == 2 and all(vals):
+                row += f" | {round(vals[0] / vals[1], 1)}× |"
+            else:
+                row += " |"
+            lines.append(row)
+        meta = "; ".join(
+            f"{r['cores']} exec: {r['n_docs']} docs, "
+            f"{r.get('run_date', '?')}, load {r.get('load_avg_1m', '?')}, "
+            f"steal {r.get('steal_pct', '?')}%" for r in xstage)
+        stage_md = (
+            "### Per-stage attribution, executor mode\n\n"
+            "Same stages as the thread-mode tables above, on real executor"
+            " JVMs — shows WHERE cross-process shuffle costs land (the"
+            " no-shuffle JW control should match thread mode):\n\n"
+            + "\n".join(lines) + f"\n\nRuns: {meta}.\n\n")
     return f"""## Executor-JVM scaling evidence (local-cluster mode)
 
 The thread-mode evidence above shares one JVM across task slots; this
@@ -750,7 +816,7 @@ server, registered over loopback. This is the north rule's "N and 4N
 executors" criterion in its most literal sandbox-expressible form.
 
 {body}
-How to read the topologies: a 1-executor "cluster" fetches every shuffle
+{stage_md}How to read the topologies: a 1-executor "cluster" fetches every shuffle
 block process-locally and amortizes a single JVM's JIT over the whole job,
 so the 1→4 number folds the one-time cost of HAVING inter-executor
 traffic (75% remote blocks at 4N vs 0% at N) into the resize. From N=2 up
@@ -810,11 +876,16 @@ def _aligned_pipeline_run(cores: int, n_entities: int) -> None:
     spark.stop()
 
 
-def _stage_run(cores: int, n_docs: int) -> None:
+def _stage_run(cores: int, n_docs: int, cluster: bool = False) -> None:
     """Child-process entry: ONE fresh-JVM pipeline run with per-stage walls
     (features / blocking / scoring / cc) plus a pure-compute control (the
     batched Jaro-Winkler kernel on synthetic pairs, no shuffle) — the
-    diagnostic evidence for the N→4N scaling criterion. Prints JSON."""
+    diagnostic evidence for the N→4N scaling criterion. Prints JSON.
+
+    ``cluster=True`` runs the same stages on ``local-cluster[cores,1,mem]``
+    (real executor JVMs) — the attribution evidence for WHERE executor-mode
+    walls diverge from thread-mode (cross-process shuffle fetches land on
+    blocking/cc; the no-shuffle JW control should not move)."""
     from pyspark.sql import functions as F
 
     from takco_spark.config import PipelineConfig
@@ -825,8 +896,20 @@ def _stage_run(cores: int, n_docs: int) -> None:
     from takco_spark.session import get_spark
     from takco_spark.spans import doc_text_features
 
-    _scale_memory_per_core(cores)
-    spark = get_spark(app_name=f"stage-{cores}", master=f"local[{cores}]")
+    if cluster:
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+        if os.path.isdir("/dev/shm"):
+            os.makedirs("/dev/shm/spark-local", exist_ok=True)
+            os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+        mem = int(os.environ.get("SPARK_GRAFT_CLUSTER_EXEC_MEM_MB", "12288"))
+        spark = get_spark(
+            app_name=f"stage-x{cores}",
+            master=f"local-cluster[{cores},1,{mem}]",
+            extra_conf=_cluster_exec_conf(mem))
+    else:
+        _scale_memory_per_core(cores)
+        spark = get_spark(app_name=f"stage-{cores}",
+                          master=f"local[{cores}]")
     docs = _bench_corpus(spark, n_docs, cores * 4).persist()
     docs.count()
     _warm(spark, cores)
@@ -900,6 +983,7 @@ def _stage_run(cores: int, n_docs: int) -> None:
     steal1, tot1 = _cpu_ticks()  # one snapshot: steal/total deltas coherent
     payload = {
         "cores": cores, "n_docs": n_docs, "stage_walls": t,
+        "mode": "local-cluster" if cluster else "local",
         "cc_iterations": cc_box.get("iterations"),
         "blocking_stats": blocks_box.get("stats"),
         "run_date": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
@@ -914,7 +998,8 @@ def _stage_run(cores: int, n_docs: int) -> None:
     # actual measurement (dated), never from a string literal that rots
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / f"stage_run_c{cores}.json").write_text(json.dumps(payload))
+    prefix = "stage_run_x" if cluster else "stage_run_c"
+    (bench_dir / f"{prefix}{cores}.json").write_text(json.dumps(payload))
     print(json.dumps(payload))
     spark.stop()
 
@@ -2270,6 +2355,10 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--stage-run":
         _stage_run(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--cluster-stage-run":
+        _stage_run(int(sys.argv[2]), int(sys.argv[3]), cluster=True)
+        _write_bench_md()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--aligned-stage-run":
         _aligned_stage_run(int(sys.argv[2]),
