@@ -746,6 +746,23 @@ def _cluster_md() -> str:
         lo, hi = d["levels"]
         paired = d.get("paired_normalized_cross_run_floor") or {}
         rf = lambda n: f"{100.0 * (n - 1) / n:.0f}%"
+        # the host's own ceiling for THIS resize, from THIS run's windows:
+        # the no-Spark probe kernel (fixed total work, multiprocessing)
+        # bracketing every leg — its best wall per level gives the machine
+        # kernel scaling the pipeline competes against on this shared box
+        kern = ""
+        try:
+            pm = {c: min(min(m["probe_walls"]) for m in d["leg_meta"][str(c)])
+                  for c in (lo, hi)}
+            keff = round(pm[lo] / (pm[hi] * (hi // lo)), 3)
+            kern = (
+                f"\nSame-run machine ceiling: the no-Spark probe kernel "
+                f"scales {keff} between these levels "
+                f"({pm[lo]}→{pm[hi]} s best), so the pipeline achieves "
+                f"{round(d['scaling_efficiency'] / keff, 2)} of what this "
+                "shared host physically offers for the resize.\n")
+        except (KeyError, ValueError, ZeroDivisionError):
+            pass
         return f"""### {lo} → {hi} executors ({d['run_date']})
 
 | executors | wall (s) | docs/sec | remote shuffle blocks |
@@ -757,7 +774,7 @@ def _cluster_md() -> str:
             f" (paired, cross-run probe floor: {paired['paired_efficiency']}"
             + ("" if paired.get("credible", True) else " — NOT CREDIBLE")
             + ")" if paired else "") + f"""
-
+{kern}
 All walls: {json.dumps(d['all_walls'])}; per-leg noise:
 {json.dumps(d['leg_meta'])}
 """
@@ -1797,12 +1814,13 @@ def _mem_ab_md() -> str:
     return "\n".join(parts)
 
 
-def _aligned_md() -> str:
+def _aligned_md(src: dict | None = None) -> str:
     """Aligned-path section: scaling block (if measured this run) plus the
     persisted per-stage attribution table (BENCH/aligned_stage_run_c*.json,
     written by ``--aligned-stage-run``)."""
     parts = []
-    al = RESULT.get("aligned_scaling")
+    d = src if src is not None else RESULT
+    al = d.get("aligned_scaling")
     if al:
         lo, hi = al["levels"]
         parts.append(f"""Same protocol as the flagship block (fresh JVM per
@@ -1852,7 +1870,7 @@ O(docs) (see the stage-level decomposition below).
     else:
         why = ("degraded-window triage (see the scaling section above) — "
                "the banked aligned numbers in the archives stand"
-               if RESULT.get("triage") else "budget")
+               if d.get("triage") else "budget")
         parts.append(f"(aligned scaling block not measured in this run — "
                      f"{why}; see a prior BENCH result for the last banked "
                      "number)\n")
@@ -2044,8 +2062,8 @@ def _cross_run_norm_md(xrun: dict | None) -> str:
     )
 
 
-def _triage_md() -> str:
-    t = RESULT.get("triage")
+def _triage_md(src: dict | None = None) -> str:
+    t = (src if src is not None else RESULT).get("triage")
     if not t:
         return ""
     return (
@@ -2073,7 +2091,7 @@ _RUN_NOTES = {
 }
 
 
-def _cross_run_md() -> str:
+def _cross_run_md(src: dict | None = None) -> str:
     """Window-dependence section: one table row per archived full run
     (``BENCH/result_run_*.json``) plus the run being rendered. Derived from
     the archive files at render time — a new driver run supersedes
@@ -2095,7 +2113,7 @@ def _cross_run_md() -> str:
             p.name, (p.stem.replace("result_run_", ""), "-"))
         rows.append((label, engine, s))
         seen_walls.append(s["wall_s"])
-    cur = RESULT.get("er_scaling") or {}
+    cur = (src if src is not None else RESULT).get("er_scaling") or {}
     # a refresh splice re-renders an already-archived run — don't row it twice
     if cur.get("wall_s") and cur["wall_s"] not in seen_walls:
         rows.append(("this run (`result_latest.json`)", "latest", cur))
@@ -2153,10 +2171,24 @@ def _cross_run_md() -> str:
 
 
 def _write_bench_md() -> None:
-    scaling = RESULT.get("er_scaling") or {}
-    queries = RESULT.get("queries") or {}
-    cold = RESULT.get("queries_cold") or {}
-    noise = RESULT.get("queries_noise") or {}
+    src = RESULT
+    if not (RESULT.get("er_scaling") or {}).get("hw_control"):
+        # standalone render (e.g. after --cluster-scaling-only banked a new
+        # artifact): re-render the page from the last persisted FULL run so
+        # the file-backed sections (cluster, stage, mem-A/B, cross-run)
+        # refresh without re-measuring. Smoke-sized persisted results are
+        # rejected — their walls are fixed-cost-dominated by design.
+        try:
+            prev = json.loads(
+                (REPO / "BENCH" / "result_latest.json").read_text())
+            if (prev.get("er_scaling") or {}).get("n_docs", 0) >= 100_000:
+                src = prev
+        except (OSError, ValueError):
+            pass
+    scaling = src.get("er_scaling") or {}
+    queries = src.get("queries") or {}
+    cold = src.get("queries_cold") or {}
+    noise = src.get("queries_noise") or {}
     hw = scaling.get("hw_control") or {}
     if "wall_s" not in scaling or not hw:
         return  # not enough measured yet for a coherent page
@@ -2193,7 +2225,7 @@ section and the escape hatch $SPARK_GRAFT_DRIVER_MEM).
 efficiency = (docs_per_sec[4N] / docs_per_sec[N]) / 4).
 {_paired_md(scaling.get('paired_normalized'))}
 {_cross_run_norm_md(scaling.get('cross_run_normalized'))}
-{_triage_md()}
+{_triage_md(src)}
 All runs: {json.dumps(scaling['all_walls'])}
 
 Per-leg machine noise, measured DURING each leg (host CPU-steal share of
@@ -2213,7 +2245,7 @@ number and the 0.8 target is the sandbox's noisy-neighbor/bandwidth loss,
 not engine serialization (see the per-stage table below for where the wall
 actually goes at each level).
 
-""" + _cross_run_md() + f"""
+""" + _cross_run_md(src) + f"""
 Between A and B the ABSOLUTE walls improve at both levels (c1 1.56×, c4
 1.25×) but the RAW ratio drops — the single-core leg gains more from a
 quiet machine than the 4-core leg, which sits nearer the host's shared
@@ -2281,7 +2313,7 @@ the driver's run window (min-of-interleaved-blocks is the noise defense).
 
 ## Aligned-path scaling & attribution (max1 + refinement)
 
-""" + _aligned_md() + """
+""" + _aligned_md(src) + """
 
 ## Incremental linkage (streaming path): per-batch cost vs full re-runs
 
