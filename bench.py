@@ -2088,6 +2088,8 @@ _RUN_NOTES = {
         ("D (degraded window)", "08-20, zstd shuffle"),
     "result_run_20260820_triagewindow.json":
         ("E (degraded; triage fired)", "08-20, zstd + triage"),
+    "result_run_20260820_afternoonwindow.json":
+        ("F (degraded 4N window; triage fired)", "08-20 pm, zstd + triage"),
 }
 
 
