@@ -691,6 +691,28 @@ def _cluster_scaling_only(budget_s: float = 2400.0,
         print("# cluster scaling: no complete N/4N pair within budget",
               file=sys.stderr)
         return
+    # fold any previously banked legs at this topology into the estimator:
+    # a re-run extends the interleaved sample set (min-wall across ALL
+    # comparable legs, the repo's standard estimator) instead of replacing
+    # a good window's evidence with whatever window this run got. Legs are
+    # comparable only if measured at the same corpus size and per-executor
+    # memory (the mode string carries it).
+    path = REPO / "BENCH" / "cluster_scaling.json"
+    prev_runs: dict[str, dict] = {}
+    try:
+        _prev = json.loads(path.read_text())
+        if "runs" in _prev:
+            prev_runs = _prev["runs"]
+        elif "levels" in _prev:  # migrate the old single-run format
+            prev_runs[f"{_prev['levels'][0]}->{_prev['levels'][1]}"] = _prev
+    except (OSError, ValueError):
+        pass
+    old = prev_runs.get(f"{lo}->{hi}")
+    if (old and old.get("n_docs") == BENCH_DOCS
+            and old.get("mode", "").endswith(f"{per_exec} MB each)")):
+        for c in (lo, hi):
+            walls[c] = list(old["all_walls"].get(str(c), [])) + walls[c]
+            meta[c] = list(old["leg_meta"].get(str(c), [])) + meta[c]
     best = {c: min(ws) for c, ws in walls.items()}
     dps = {c: BENCH_DOCS / w for c, w in best.items()}
     out = {
@@ -711,18 +733,8 @@ def _cluster_scaling_only(budget_s: float = 2400.0,
     if paired is not None:
         out["paired_normalized_cross_run_floor"] = paired
     (REPO / "BENCH").mkdir(exist_ok=True)
-    path = REPO / "BENCH" / "cluster_scaling.json"
-    runs: dict[str, dict] = {}
-    try:
-        prev = json.loads(path.read_text())
-        if "runs" in prev:
-            runs = prev["runs"]
-        elif "levels" in prev:  # migrate the old single-run format
-            runs[f"{prev['levels'][0]}->{prev['levels'][1]}"] = prev
-    except (OSError, ValueError):
-        pass
-    runs[f"{lo}->{hi}"] = out
-    path.write_text(json.dumps({"runs": runs}, indent=1))
+    prev_runs[f"{lo}->{hi}"] = out
+    path.write_text(json.dumps({"runs": prev_runs}, indent=1))
     print(json.dumps(out))
 
 
