@@ -691,12 +691,6 @@ def _cluster_scaling_only(budget_s: float = 2400.0,
         print("# cluster scaling: no complete N/4N pair within budget",
               file=sys.stderr)
         return
-    # fold any previously banked legs at this topology into the estimator:
-    # a re-run extends the interleaved sample set (min-wall across ALL
-    # comparable legs, the repo's standard estimator) instead of replacing
-    # a good window's evidence with whatever window this run got. Legs are
-    # comparable only if measured at the same corpus size and per-executor
-    # memory (the mode string carries it).
     path = REPO / "BENCH" / "cluster_scaling.json"
     prev_runs: dict[str, dict] = {}
     try:
@@ -707,12 +701,8 @@ def _cluster_scaling_only(budget_s: float = 2400.0,
             prev_runs[f"{_prev['levels'][0]}->{_prev['levels'][1]}"] = _prev
     except (OSError, ValueError):
         pass
-    old = prev_runs.get(f"{lo}->{hi}")
-    if (old and old.get("n_docs") == BENCH_DOCS
-            and old.get("mode", "").endswith(f"{per_exec} MB each)")):
-        for c in (lo, hi):
-            walls[c] = list(old["all_walls"].get(str(c), [])) + walls[c]
-            meta[c] = list(old["leg_meta"].get(str(c), [])) + meta[c]
+    _merge_cluster_legs(prev_runs, lo, hi, walls, meta,
+                        n_docs=BENCH_DOCS, per_exec=per_exec)
     best = {c: min(ws) for c, ws in walls.items()}
     dps = {c: BENCH_DOCS / w for c, w in best.items()}
     out = {
@@ -736,6 +726,23 @@ def _cluster_scaling_only(budget_s: float = 2400.0,
     prev_runs[f"{lo}->{hi}"] = out
     path.write_text(json.dumps({"runs": prev_runs}, indent=1))
     print(json.dumps(out))
+
+
+def _merge_cluster_legs(prev_runs: dict, lo: int, hi: int,
+                        walls: dict, meta: dict,
+                        n_docs: int, per_exec: int) -> None:
+    """Fold previously banked legs at the ``lo->hi`` topology into this
+    run's sample set (in place): a re-run EXTENDS the interleaved leg set
+    (min-wall across all comparable legs — the repo's standard estimator)
+    instead of replacing a good window's evidence with whatever window the
+    new run got. Legs are comparable only if measured at the same corpus
+    size and per-executor memory (the mode string carries it)."""
+    old = prev_runs.get(f"{lo}->{hi}")
+    if (old and old.get("n_docs") == n_docs
+            and old.get("mode", "").endswith(f"{per_exec} MB each)")):
+        for c in (lo, hi):
+            walls[c] = list(old["all_walls"].get(str(c), [])) + walls[c]
+            meta[c] = list(old["leg_meta"].get(str(c), [])) + meta[c]
 
 
 def _cluster_md() -> str:

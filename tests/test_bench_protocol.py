@@ -202,3 +202,44 @@ def test_cross_run_table_dedupes_spliced_current(tmp_path, monkeypatch):
     md = bench._cross_run_md()
     assert "1 full same-protocol runs" in md
     assert "this run" not in md
+
+
+def test_cluster_leg_merge_extends_comparable_topology():
+    # a re-run at the same topology/corpus/exec-mem folds old legs in
+    prev = {"2->8": {
+        "n_docs": 600, "mode": "local-cluster (… 1 core × 1024 MB each)",
+        "all_walls": {"2": [150.0], "8": [70.0]},
+        "leg_meta": {"2": [{"probe_walls": [5, 5]}],
+                     "8": [{"probe_walls": [2, 2]}]},
+    }}
+    walls = {2: [160.0], 8: [65.0]}
+    meta = {2: [{"probe_walls": [6, 6]}], 8: [{"probe_walls": [2, 2]}]}
+    bench._merge_cluster_legs(prev, 2, 8, walls, meta,
+                              n_docs=600, per_exec=1024)
+    assert walls == {2: [150.0, 160.0], 8: [70.0, 65.0]}
+    assert len(meta[2]) == 2 and len(meta[8]) == 2
+    # min-wall estimator then takes the best leg regardless of which run
+    assert min(walls[2]) == 150.0 and min(walls[8]) == 65.0
+
+
+def test_cluster_leg_merge_skips_incomparable_legs():
+    base = {
+        "n_docs": 600, "mode": "local-cluster (… 1 core × 1024 MB each)",
+        "all_walls": {"2": [150.0], "8": [70.0]},
+        "leg_meta": {"2": [{}], "8": [{}]},
+    }
+    for bad in (
+        {**base, "n_docs": 999},                       # corpus changed
+        {**base, "mode": "… 1 core × 2048 MB each)"},  # exec mem changed
+    ):
+        walls = {2: [160.0], 8: [65.0]}
+        meta = {2: [{}], 8: [{}]}
+        bench._merge_cluster_legs({"2->8": bad}, 2, 8, walls, meta,
+                                  n_docs=600, per_exec=1024)
+        assert walls == {2: [160.0], 8: [65.0]}  # untouched
+    # different topology key: also untouched
+    walls = {1: [300.0], 4: [100.0]}
+    meta = {1: [{}], 4: [{}]}
+    bench._merge_cluster_legs({"2->8": base}, 1, 4, walls, meta,
+                              n_docs=600, per_exec=1024)
+    assert walls == {1: [300.0], 4: [100.0]}
