@@ -161,6 +161,38 @@ def minhash_blocks(features: DataFrame, cfg: PipelineConfig,
     return banded.select(key.alias("block_key"), "doc_id")
 
 
+def _apply_cap_map(blocks: DataFrame, sizes: DataFrame,
+                   cfg: PipelineConfig) -> DataFrame:
+    """Apply drop + salt caps with ONE broadcast map and ONE join.
+
+    Hot keys (heavy hitters above ``salt_threshold``) are few by
+    construction, so both caps fit a single broadcast table keyed on
+    block_key with ``nsalt = -1`` marking drop and ``nsalt >= 2`` marking a
+    salted key — the r5 shape built two broadcasts (dropped anti-join +
+    salt-map left join), which is two broadcast-build jobs and two probe
+    passes over the big block stream per pipeline (guide §2.4)."""
+    cap_map = sizes.where(
+        (F.col("n") > cfg.salt_threshold) | (F.col("n") > cfg.max_block_size)
+    ).select(
+        "block_key",
+        F.when(F.col("n") > cfg.max_block_size, F.lit(-1))
+        .otherwise(F.ceil(F.col("n") / cfg.salt_threshold))
+        .cast("int").alias("nsalt"),
+    )
+    return (
+        blocks.join(F.broadcast(cap_map), "block_key", "left")
+        .where(F.coalesce(F.col("nsalt"), F.lit(0)) >= 0)
+        .select(
+            "block_key",
+            F.when(
+                F.col("nsalt").isNotNull(),
+                F.pmod(F.xxhash64("doc_id"), F.col("nsalt")).cast("int"),
+            ).otherwise(F.lit(0)).alias("salt"),
+            "doc_id",
+        )
+    )
+
+
 def apply_block_caps(
     blocks: DataFrame, cfg: PipelineConfig, blocker: str = "all"
 ) -> tuple[DataFrame, BlockingStats]:
@@ -192,27 +224,7 @@ def apply_block_caps(
     n_salted = int(srow["salted"] or 0)
     n_salt_excl = int(srow["salt_excl"] or 0)
 
-    # hot-key tables are small by construction (heavy-hitter keys only)
-    hot_map = sizes.where(
-        (F.col("n") > cfg.salt_threshold) & (F.col("n") <= cfg.max_block_size)
-    ).select(
-        "block_key",
-        F.ceil(F.col("n") / cfg.salt_threshold).cast("int").alias("nsalt"),
-    )
-    dropped_keys = sizes.where(F.col("n") > cfg.max_block_size).select("block_key")
-
-    out = (
-        blocks.join(F.broadcast(dropped_keys), "block_key", "left_anti")
-        .join(F.broadcast(hot_map), "block_key", "left")
-        .select(
-            "block_key",
-            F.when(
-                F.col("nsalt").isNotNull(),
-                F.pmod(F.xxhash64("doc_id"), F.col("nsalt")).cast("int"),
-            ).otherwise(F.lit(0)).alias("salt"),
-            "doc_id",
-        )
-    )
+    out = _apply_cap_map(blocks, sizes, cfg)
     stats = BlockingStats(
         blocker=blocker,
         total_keys=int(total),
@@ -390,31 +402,13 @@ def block_documents(
         for r in srows
     ]
 
-    hot_map = sizes.where(
-        (F.col("n") > cfg.salt_threshold) & (F.col("n") <= cfg.max_block_size)
-    ).select(
-        "block_key",
-        F.ceil(F.col("n") / cfg.salt_threshold).cast("int").alias("nsalt"),
-    )
-    dropped_keys = sizes.where(F.col("n") > cfg.max_block_size).select("block_key")
-    out = (
-        raw.join(F.broadcast(dropped_keys), "block_key", "left_anti")
-        .join(F.broadcast(hot_map), "block_key", "left")
-        .select(
-            "block_key",
-            F.when(
-                F.col("nsalt").isNotNull(),
-                F.pmod(F.xxhash64("doc_id"), F.col("nsalt")).cast("int"),
-            ).otherwise(F.lit(0)).alias("salt"),
-            "doc_id",
-        )
-    )
+    out = _apply_cap_map(raw, sizes, cfg)
     # NOT persisted: the pipeline consumes blocks ONCE (candidate_pairs is a
     # single groupBy scan, not a self-join), and `raw` above is already
-    # cached — the cap joins on top are two broadcasts. A second 37M-row
+    # cached — the cap map on top is one broadcast join. A second 37M-row
     # materialization here measured as pure overhead at bench scale; callers
     # that scan blocks repeatedly (tests, stats) recompute only the cheap
-    # cap joins from the cached union.
+    # cap join from the cached union.
     return out, stats
 
 

@@ -125,11 +125,19 @@ def connected_components(
     # star graph: every src points at its component root (dst)
     roots = cur.select(F.col("dst").alias("doc_id"), F.col("dst").alias("cluster_id"))
     members = cur.select(F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id"))
-    labels = roots.unionByName(members).distinct()
-    if not converged:
+    if converged:
+        # a large-star/small-star fixed point is a depth-1 star forest: every
+        # member src appears exactly once and no root is a member, so only
+        # the root rows need dedup — the member side passes through with no
+        # shuffle (r5 ran distinct over the full 2|E| union; guide §2.4).
+        labels = roots.distinct().unionByName(members)
+    else:
         # non-star residue can carry >1 label per node — collapse to the min
         # so attach_labels never duplicates document rows
-        labels = labels.groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+        labels = (
+            roots.unionByName(members)
+            .groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+        )
     return CCResult(labels=labels, iterations=iterations, converged=converged,
                     edge_counts=counts)
 

@@ -45,11 +45,16 @@ def exact_dedup(documents: DataFrame, id_col: str = "doc_id",
     )
 
 
-def char_shingles(documents: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", k: int = 5) -> DataFrame:
-    """(doc_id, shingle): distinct character k-grams of the normalized text.
+def char_shingle_arrays(documents: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5) -> DataFrame:
+    """(doc_id, shingles array<string>): distinct character k-grams of the
+    normalized text, one NARROW projection (no explode, no shuffle).
 
-    Built with sequence+transform+explode — stays JVM-side.
+    The array form is the primary representation: per-doc set sizes are
+    ``size(shingles)`` and MinHash consumes ``transform(shingles, xxhash64)``
+    directly, so neither ever needs the exploded stream regrouped by doc
+    (the r5 shape paid a full shuffle to explode and immediately
+    ``groupBy(doc_id).collect_list`` — guide §2.4, removed r6).
     """
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return (
@@ -59,14 +64,21 @@ def char_shingles(documents: DataFrame, id_col: str = "doc_id",
         .where(F.length("t") >= k)
         .select(
             "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(1, length(t) - {k - 1}), i -> substring(t, i, {k}))"
-                    )
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(t) - {k - 1}), i -> substring(t, i, {k}))"
                 )
-            ).alias("shingle"),
+            ).alias("shingles"),
         )
+    )
+
+
+def char_shingles(documents: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 5) -> DataFrame:
+    """(doc_id, shingle): long-format view of :func:`char_shingle_arrays`
+    (the shape the sum-product Jaccard join consumes)."""
+    return char_shingle_arrays(documents, id_col, text_col, k).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
 
 
@@ -85,16 +97,31 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
     lower bound — pairs whose overlap is only stop-shingles are the ones
     skipped). None = exact all-pairs semantics (used by the DuckDB oracle).
     """
-    sh = char_shingles(documents, id_col, text_col, k)
+    arrays = char_shingle_arrays(documents, id_col, text_col, k)
     if max_df is not None:
-        sh = sh.persist()
+        # the array form is what both remaining consumers re-derive from —
+        # persist it (smaller than the r5-persisted exploded stream by the
+        # per-row doc_id duplication factor)
+        arrays = arrays.persist()
+    # |∪| denominators come from the NARROW array form — the r5 shape paid a
+    # full groupBy shuffle of the exploded stream for the same counts.
+    sizes = arrays.select("doc_id", F.size("shingles").alias("sz"))
+    sh = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_df is not None:
         hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(
             F.col("df") > max_df
         ).select("shingle")
         sh_join = sh.join(F.broadcast(hot), "shingle", "left_anti")
     else:
         sh_join = sh
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # |∩| stays the streaming sum-product equi-join: the codegen'd join +
+    # map-side partial count beats grouped in-row pair enumeration here —
+    # measured r6: a candidate_pairs-style groupBy/collect_set/transform
+    # rewrite of this stage ran 3.5× SLOWER at sf0.1 (13.9 s vs 4.1 s;
+    # shingle buckets run to max_df=200 ids and Catalyst evaluates
+    # higher-order lambdas interpreted, so O(df²) per-row enumeration loses
+    # to the join even though it shuffles twice). Guide §1.1: the "ideal"
+    # fewer-shuffles plan lost empirically; keep the join.
     a = sh_join.select(F.col("doc_id").alias("doc_id_1"), "shingle")
     b = sh_join.select(F.col("doc_id").alias("doc_id_2"), "shingle")
     inter = (
@@ -121,24 +148,33 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
 
 
 def _bounded_bucket_pairs(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
-    """Self-join (bucket, doc_id) → canonical candidate pairs, with oversized
-    buckets dropped first (the no-silent-caps rule: callers surface the count
-    via :func:`bucket_cap_stats` when they need the diagnostic)."""
+    """(bucket, doc_id) → canonical candidate pairs, oversized buckets
+    dropped (the no-silent-caps rule: callers surface the count via
+    :func:`bucket_cap_stats` when they need the diagnostic).
+
+    One groupBy into per-bucket id sets — the cap is the size filter on the
+    grouped row (no separate hot-bucket job, no broadcast, no persist) —
+    then in-row pair enumeration + a distinct, the same kernel as
+    blocking.candidate_pairs. The r5 shape self-joined the persisted bucket
+    stream (two scans + a join build) after a dedicated cap job; this is one
+    shuffle of the bucket stream and one of the pair stream (guide §2.4).
+    Bucket payload stays bounded by ``max_bucket_size``."""
+    buckets = (
+        banded.groupBy("bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     if max_bucket_size is not None:
-        banded = banded.persist()
-        hot = (
-            banded.groupBy("bucket").agg(F.count("*").alias("n"))
-            .where(F.col("n") > max_bucket_size)
-            .select("bucket")
-        )
-        banded = banded.join(F.broadcast(hot), "bucket", "left_anti")
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
+    pair_structs = F.expr("""
+      flatten(transform(ids, (x, i) ->
+        transform(slice(ids, i + 2, size(ids) - i - 1),
+                  y -> struct(x as doc_id_1, y as doc_id_2))))
+    """)
     return (
-        banded.alias("x")
-        .join(banded.alias("y"), "bucket")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_id_1"), F.col("y.doc_id").alias("doc_id_2")
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_id_1").alias("doc_id_1"),
+                F.col("p.doc_id_2").alias("doc_id_2"))
         .distinct()
     )
 
@@ -173,9 +209,14 @@ def minhash_dedup_buckets(documents: DataFrame, num_perm: int = 128,
     ``max_bucket_size`` are dropped (they are near-global shingle profiles —
     quadratic pair mass for near-zero dedup value); None disables.
     """
-    sh = char_shingles(documents, id_col, text_col, k)
-    hashed = sh.groupBy("doc_id").agg(
-        F.collect_list(F.xxhash64("shingle")).alias("token_hashes")
+    # shingle sets stay in NARROW array form end to end: hashing is a
+    # transform over the per-doc array, so the signature UDF's input needs no
+    # shuffle at all (r5 exploded the shingles and paid a full
+    # groupBy(doc_id).collect_list shuffle to reassemble them — guide §2.4).
+    hashed = char_shingle_arrays(documents, id_col, text_col, k).select(
+        "doc_id",
+        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias(
+            "token_hashes"),
     )
     lsh_udf = make_lsh_band_udf(num_perm, bands, seed)
     banded = hashed.select(
@@ -289,8 +330,8 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
         for i in range(n_pieces)
     ]
     banded = sh.select(
-        "doc_id", F.explode(F.array(*piece_cols)).alias("bucket")
-    ).select("bucket", "doc_id")
+        "doc_id", "simhash", F.explode(F.array(*piece_cols)).alias("bucket")
+    ).select("bucket", "doc_id", "simhash")
     if stats_out is not None and max_bucket_size is not None:
         banded = banded.persist()
         stats_out.update(bucket_cap_stats(banded, max_bucket_size))
@@ -303,12 +344,31 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
                 "max_hamming-split granularity",
                 stats_out["dropped_buckets"], stats_out["dropped_rows"],
             )
-    pairs = _bounded_bucket_pairs(banded, max_bucket_size)
-    sh1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("sh1"))
-    sh2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("sh2"))
+    # The 8-byte fingerprint rides along through the bucket groupBy, so the
+    # Hamming filter needs NO re-join of the simhash table (r5 paid two
+    # shuffle-hash joins to re-attach sh1/sh2 to the pair stream —
+    # guide §2.4: decide with the bytes already in hand). Same one-shuffle
+    # grouped pair enumeration + cap as :func:`_bounded_bucket_pairs`;
+    # the distinct dedups identical (id, simhash) tuples, so pair semantics
+    # are unchanged.
+    buckets = (
+        banded.groupBy("bucket")
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "simhash")))
+             .alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
+    pair_structs = F.expr("""
+      flatten(transform(ids, (x, i) ->
+        transform(slice(ids, i + 2, size(ids) - i - 1),
+                  y -> struct(x.doc_id as doc_id_1, x.simhash as sh1,
+                              y.doc_id as doc_id_2, y.simhash as sh2))))
+    """)
     return (
-        pairs.join(sh1, "doc_id_1")
-        .join(sh2, "doc_id_2")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_id_1", "p.sh1", "p.doc_id_2", "p.sh2")
+        .distinct()
         .withColumn("hamming", hamming64("sh1", "sh2"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_id_1", "doc_id_2", "hamming")

@@ -154,23 +154,49 @@ def doc_segment_features(documents: DataFrame, min_token_len: int = 2,
     excluded, as in :func:`doc_text_features`.
 
     Returns (doc_id, seg:int, seg_name, seg_tokens) — same feature contract
-    as doc_text_features but one row per segment. One window + one groupBy,
-    both partitioned by doc_id (segment count per doc is bounded by its
-    header count, so groups stay small at any corpus scale).
+    as doc_text_features but one row per segment. Fully NARROW: the segment
+    id of a span is the count of header offsets ≤ its offset, computed with
+    array algebra inside each document row, and the per-segment rows come
+    from a narrow explode of the distinct segment ids — no window, no
+    groupBy, ZERO shuffles (the r5 shape exploded to long format and paid a
+    full shuffle+sort for the running-header-count window plus the grouped
+    re-collect; guide §2.4). Per-doc cost is O(spans × headers): header
+    counts per document are small by construction, and the spans array is
+    already resident in the row.
     """
-    from pyspark.sql import Window
-
-    long = explode_spans(documents).where(F.col("kind") != "media")
-    w = Window.partitionBy("doc_id").orderBy("offset")
-    seg = F.sum((F.col("kind") == "header").cast("int")).over(w)
-    grouped = (
-        long.withColumn("seg", seg)
-        .groupBy("doc_id", "seg")
-        .agg(F.array_sort(F.collect_list(F.struct("offset", "text"))).alias("xs"))
+    with_seg = documents.select(
+        "doc_id",
+        F.expr("filter(spans, s -> s.kind != 'media')").alias("_nm"),
+    ).select(
+        "doc_id", "_nm",
+        F.expr(
+            "transform(filter(_nm, s -> s.kind = 'header'), s -> s.offset)"
+        ).alias("_h"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(_nm, s -> struct("
+            "  size(filter(_h, h -> h <= s.offset)) as seg,"
+            "  s.offset as offset, s.text as text))"
+        ).alias("_ss"),
     )
-    return grouped.select(
+    seg_rows = with_seg.select(
+        "doc_id",
+        "_ss",
+        F.explode(
+            F.expr("array_distinct(transform(_ss, x -> x.seg))")
+        ).alias("seg"),
+    ).select(
         "doc_id",
         F.col("seg").cast("int").alias("seg"),
+        F.expr(
+            "array_sort(transform(filter(_ss, x -> x.seg = seg),"
+            " x -> struct(x.offset as offset, x.text as text)))"
+        ).alias("xs"),
+    )
+    return seg_rows.select(
+        "doc_id",
+        "seg",
         F.expr(
             f"substring(array_join(transform(xs, x -> x.text), ' '), 1, {int(max_name_len)})"
         ).alias("seg_name"),
