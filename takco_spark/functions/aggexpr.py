@@ -50,12 +50,16 @@ def _reduce(fn, cols: list[Column]) -> Column:
     return acc
 
 
-def compile_agg_expr(expr: str, available: set[str] | None = None) -> Column:
-    """Compile an agg string into a Column over score columns by name."""
+def compile_agg_expr(expr: str, available: set[str] | None = None,
+                     _ones: set[str] | None = None) -> Column:
+    """Compile an agg string into a Column over score columns by name.
+
+    ``_ones`` (internal, see :func:`compile_agg_upper`): names replaced by
+    the literal 1.0 instead of a column reference."""
     tokens = _tokenize(expr)
     pos = 0
 
-    def parse() -> Column:
+    def parse(in_pow_exp: bool = False) -> Column:
         nonlocal pos
         if pos >= len(tokens):
             raise AggExprError(f"unexpected end of {expr!r}")
@@ -66,10 +70,13 @@ def compile_agg_expr(expr: str, available: set[str] | None = None) -> Column:
             if pos >= len(tokens) or tokens[pos] != "(":
                 raise AggExprError(f"expected '(' after {tok} in {expr!r}")
             pos += 1
-            args = [parse()]
+            is_pow = name == "pow"
+            args = [parse(in_pow_exp)]
             while pos < len(tokens) and tokens[pos] == ",":
                 pos += 1
-                args.append(parse())
+                # a @pow exponent: substitution there would not be an upper
+                # bound (x^y is DECREASING in y for x < 1)
+                args.append(parse(in_pow_exp or (is_pow and len(args) == 1)))
             if pos >= len(tokens) or tokens[pos] != ")":
                 raise AggExprError(f"expected ')' in {expr!r}")
             pos += 1
@@ -93,6 +100,10 @@ def compile_agg_expr(expr: str, available: set[str] | None = None) -> Column:
         if re.fullmatch(r"[A-Za-z_]\w*", tok):
             if available is not None and tok not in available:
                 raise AggExprError(f"unknown score column {tok!r}; have {sorted(available)}")
+            if _ones is not None and tok in _ones:
+                if in_pow_exp:
+                    raise _UpperUnsafe(tok)
+                return F.lit(1.0)
             return F.col(tok)
         raise AggExprError(f"unexpected token {tok!r} in {expr!r}")
 
@@ -100,3 +111,29 @@ def compile_agg_expr(expr: str, available: set[str] | None = None) -> Column:
     if pos != len(tokens):
         raise AggExprError(f"trailing tokens {tokens[pos:]} in {expr!r}")
     return col
+
+
+class _UpperUnsafe(Exception):
+    """A substituted column sits in a @pow exponent — no sound upper bound."""
+
+
+def compile_agg_upper(expr: str, available: set[str],
+                      expensive: set[str]) -> Column | None:
+    """UPPER BOUND of the agg expression with every column in ``expensive``
+    replaced by the literal 1.0 — or None when no sound bound exists.
+
+    Sound because every DSL operator (max/min/mean/sum/prod, and @pow in its
+    BASE argument) is monotone nondecreasing in each score input on the score
+    domain [0, 1] (all matcher columns are clipped/normalized nonnegative and
+    ≤ 1), and IEEE add/mul/greatest/least/pow preserve that monotonicity —
+    so for any row, agg(actual scores) ≤ agg(scores with expensive := 1.0).
+    A row failing ``upper >= threshold`` therefore can NEVER pass the final
+    ``agg_sim >= threshold`` filter, and can be dropped before the expensive
+    columns are computed (guide §2.3: don't compute what you throw away).
+    The one non-monotone position is a @pow EXPONENT (x^y decreases in y for
+    x < 1): if an expensive column appears there, return None and skip the
+    prefilter."""
+    try:
+        return compile_agg_expr(expr, available, _ones=expensive)
+    except _UpperUnsafe:
+        return None

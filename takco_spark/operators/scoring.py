@@ -112,27 +112,64 @@ def score_pairs(
         F.col("name").alias("name_2"),
         F.col("tokens").alias("tokens_2"),
     )
-    # Pin UDF parallelism on the NARROW pair stream, before the feature joins
-    # widen each row with two token arrays — repartitioning after the join
-    # would shuffle ~KBs per row for no reason, and AQE would otherwise
-    # coalesce this small-by-bytes but CPU-heavy stage onto too few
-    # partitions. The feature joins are HINTED shuffle-hash: at corpus scale
-    # the feature table can never broadcast, and even at mid scale the
-    # broadcast build is a serial driver-side cost (measured ~25s flat
-    # regardless of cores at 10^5 docs) — SHJ keyed on doc_id scales with
-    # the cluster instead.
-    parallelism = pairs.sparkSession.sparkContext.defaultParallelism
+    # Re-key the NARROW pair stream before the feature joins widen each row
+    # with two token arrays — repartitioning after the join would shuffle
+    # ~KBs per row for no reason. No explicit partition count: a keyed
+    # repartition without one stays AQE-coalescible (an explicit N is exempt
+    # from coalescing and froze this stage at 2×parallelism tiny tasks —
+    # measured r6 on the aligned twin of this stage: 5.2 s → 3.5 s at sf0.1
+    # local[32]); the parallelismFirst floor keeps the CPU-heavy UDF stage
+    # wide. The feature joins are HINTED shuffle-hash: at corpus scale the
+    # feature table can never broadcast, and even at mid scale the broadcast
+    # build is a serial driver-side cost (measured ~25s flat regardless of
+    # cores at 10^5 docs) — SHJ keyed on doc_id scales with the cluster
+    # instead.
     joined = (
-        pairs.repartition(2 * parallelism, "doc_id_1")
+        pairs.repartition("doc_id_1")
         .join(f1.hint("shuffle_hash"), "doc_id_1")
         .join(f2.hint("shuffle_hash"), "doc_id_2")
     )
 
-    scored = joined.select(
+    # Cheap-first gating (guide §2.3: don't compute what you throw away):
+    # compute ONLY the set-level jaccard, then drop every pair whose agg
+    # score could not reach the threshold even if every other matcher
+    # scored a perfect 1.0 (compile_agg_upper — a sound monotone bound).
+    # Under the flagship agg this is `jaccard >= 2·threshold − 1`, which
+    # prunes the bulk of token-blocked pairs before the Levenshtein DP, the
+    # Jaro-Winkler Arrow batch, and the optional embedding/media joins ever
+    # see them; survivors get the full matcher suite, so surviving rows are
+    # byte-identical to the ungated plan.
+    available_full = {"jaccard", "lev_sim", "jw"}
+    if cfg.use_tfidf:
+        available_full.add("tfidf_cos")
+    if embeddings is not None:
+        available_full.add("emb_cos")
+    if media is not None:
+        available_full.add("media_jacc")
+    from takco_spark.functions.aggexpr import compile_agg_upper
+
+    upper = compile_agg_upper(cfg.agg_expr, available_full,
+                              available_full - {"jaccard"})
+    pre = joined.select(
         "doc_id_1",
         "doc_id_2",
         "block_key",
+        "name_1",
+        "name_2",
         jaccard_tokens(F.col("tokens_1"), F.col("tokens_2")).alias("jaccard"),
+    )
+    if upper is not None:
+        # 1e-9 slack: a normalized score could exceed 1.0 by FP rounding
+        # (e.g. an L2-normalized tfidf dot), which would shave the bound at
+        # the exact boundary. A too-loose prefilter only passes extra rows
+        # to the exact agg filter below — never drops a surviving row.
+        pre = pre.where(upper >= F.lit(cfg.agg_threshold) - F.lit(1e-9))
+
+    scored = pre.select(
+        "doc_id_1",
+        "doc_id_2",
+        "block_key",
+        "jaccard",
         levenshtein_sim(
             F.col("name_1"), F.col("name_2"), cfg.lev_max_dist_frac
         ).alias("lev_sim"),
@@ -231,7 +268,6 @@ def aligned_segment_scores(
     projection — so it is exposed as its own function for stage-level
     attribution (bench.py --aligned-stage-run).
     """
-    par = pairs.sparkSession.sparkContext.defaultParallelism
     s1 = seg_features.select(
         F.col("doc_id").alias("doc_id_1"),
         F.col("seg").alias("l"),
@@ -245,7 +281,10 @@ def aligned_segment_scores(
         F.col("seg_tokens").alias("tokens_2"),
     )
     sub = (
-        pairs.repartition(2 * par, "doc_id_1")
+        # keyed repartition with NO explicit count — AQE-coalescible (see
+        # score_pairs; an explicit 2×parallelism froze this fan-out stage at
+        # tiny-task granularity: measured 5.2 s → 3.5 s at sf0.1 local[32])
+        pairs.repartition("doc_id_1")
         .join(s1.hint("shuffle_hash"), "doc_id_1")
         .join(s2.hint("shuffle_hash"), "doc_id_2")
         .select(
