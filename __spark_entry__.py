@@ -76,14 +76,27 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     _PYFILES_SHIPPED.add(app)
 
 
+#: tables whose queries run CPU-heavy NARROW kernels (tokenize, shingle,
+#: MinHash/SimHash UDFs, per-row cosine) before their first shuffle — a
+#: single-row-group scan would run those serial on one core, so these get
+#: widen_input's defensive repartition. The relational tables are consumed
+#: by aggregate/join queries whose first operator is itself a shuffle with
+#: map-side partial aggregation: for them the widen exchange only re-ships
+#: every input row ahead of a shuffle that was about to shrink it (measured
+#: r6 at sf0.1 local[32], min of 2: pfd 1.85→0.55 s, pricing_summary
+#: 1.36→0.45 s, window_running_sum 1.33→0.34 s without the widen). At real
+#: scale inputs carry many splits and both branches behave identically.
+_WIDEN_TABLES = {"documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # widen_input: the sf* test tables are single small parquet files (one
-    # scan partition) — without widening, every narrow stage before the
-    # first shuffle runs serial regardless of core count. No-op at scale.
     from takco_spark.sources.readers import widen_input
 
     _ensure_workers_can_import(spark)
-    return widen_input(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _WIDEN_TABLES:
+        df = widen_input(df)
+    return df
 
 
 # ---------------------------------------------------------------------------

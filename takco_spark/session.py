@@ -129,24 +129,26 @@ def get_spark(
     # In local mode every "executor" thread lives in the driver JVM — the 1g
     # default heap causes GC collapse at high parallelism. Only effective for
     # the process's FIRST JVM (bench runs each parallelism level in a fresh
-    # process for exactly this reason). 48g default: headroom for local[32]
-    # (1.5 GB/task-slot) at the largest test SF. Measured A/B
-    # (BENCH/mem_ab_d{600000,960000}.json, 2026-08-18, interleaved fresh-JVM
-    # runs at local[4]): 24g vs 48g is a wash at 960k docs (137 vs 140 s
-    # min-wall) and 24g is ~25% FASTER at 600k (151 vs 195 s) — the r3-era
-    # 24g spill cliff (blocking 177 s vs 111 s) no longer reproduces after
-    # the shuffle moved to /dev/shm and the AQE parallelism-floor fixes, so
-    # 48g is pure headroom, not a performance requirement. The scaling
-    # bench overrides this per child to 12 GB × cores, capped at ~70% of
-    # physical RAM (bench._scale_memory_per_core) — per-core memory held
-    # constant across parallelism levels, the way a real cluster's
-    # per-executor memory is.
+    # process for exactly this reason). 24g default (r6 — was 48g, which the
+    # measurements never supported): the committed interleaved A/B
+    # (BENCH/mem_ab_d{600000,960000}.json, local[4]) has 24g ~25% FASTER at
+    # 600k docs and a wash at 960k, and r6 local[32] headline sessions at
+    # 48g showed pathological COLD walls on the aligned query (110-193 s
+    # first run vs 34-38 s at 24g in adjacent windows — tens of GB of fresh
+    # heap pages being committed during the first heavy shuffle phase) with
+    # no steady-state benefit anywhere. The r3-era 24g spill cliff no longer
+    # reproduces after the shuffle moved to /dev/shm and the AQE
+    # parallelism-floor fixes. The scaling bench overrides this per child to
+    # 12 GB × cores, capped at ~70% of physical RAM
+    # (bench._scale_memory_per_core) — per-core memory held constant across
+    # parallelism levels, the way a real cluster's per-executor memory is;
+    # $SPARK_GRAFT_DRIVER_MEM remains the explicit escape hatch.
     if master.startswith("local"):
         # local-mode-only: under spark-submit the driver/executor memory is
         # the submitter's call (--driver-memory/--executor-memory), and
         # setting spark.driver.memory after JVM start is a no-op anyway
         confs["spark.driver.memory"] = os.environ.get(
-            "SPARK_GRAFT_DRIVER_MEM", "48g"
+            "SPARK_GRAFT_DRIVER_MEM", "24g"
         )
     if shuffle_partitions is None and master.startswith("local-cluster["):
         # local-cluster[nExec, coresPerExec, memMB]: REAL separate executor

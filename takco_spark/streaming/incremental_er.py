@@ -31,13 +31,17 @@ parquet-level stand-in for Iceberg snapshot isolation):
     blocks/batch=<id>/     (block_key, doc_id)        delta per batch
                            (union of the cfg.blockers key streams —
                            token/minhash/media, all deterministic per doc)
-    labels/batch=<id>/     (doc_id, cluster_id)       FULL snapshot per batch
-                           (latest complete snapshot below the current batch
-                           is the input; compact_state prunes old ones)
-    {features,blocks}/_base/epoch=<k>/   compacted union of all deltas <= k
+    labels/batch=<id>/     (doc_id, cluster_id)       DELTA per batch: new
+                           docs + docs whose cluster changed (r6 — the r5
+                           layout wrote a FULL O(corpus) snapshot per
+                           arrival, which dominates per-batch cost at
+                           stream age; readers merge-on-read via
+                           latest_labels, newest batch per doc wins)
+    {features,blocks,labels}/_base/epoch=<k>/  compacted state <= k
                            (written by compact_state; readers prefer the
                            newest complete epoch below their replay horizon
-                           and only scan deltas ABOVE it)
+                           and only scan deltas ABOVE it — for labels the
+                           epoch is the fully-merged snapshot as of k)
 
 Without compaction the per-batch read fan-in grows O(#batches) — file
 listings, parquet footers, and union width all scale with stream age, which
@@ -214,25 +218,65 @@ def compact_state(spark: SparkSession, state_dir: str,
         for e in epoch_ids:
             if e < k:
                 shutil.rmtree(f"{base_root}/epoch={e}", ignore_errors=True)
+    # labels: fold every delta <= k into one fully-merged snapshot
+    # ``labels/_base/epoch=<k>`` (merge-on-read readers then scan one epoch
+    # plus the deltas above it), then drop the folded deltas and older
+    # epochs. The epoch commits via its _SUCCESS before any delete, and the
+    # newest delta (k is at most the second-newest) stays untouched, so a
+    # crash-replay of the newest batch still reads valid state < itself.
+    lbl_base = f"{state_dir}/labels/_base"
+    if k not in _epoch_ids(lbl_base):
+        latest_labels(spark, state_dir, before_batch=k + 1).write.mode(
+            "overwrite"
+        ).parquet(f"{lbl_base}/epoch={k}")
     dropped = [i for i in label_ids if i < k]
     for i in dropped:
         shutil.rmtree(f"{state_dir}/labels/batch={i}", ignore_errors=True)
+    for e in _epoch_ids(lbl_base):
+        if e < k:
+            shutil.rmtree(f"{lbl_base}/epoch={e}", ignore_errors=True)
     stats["label_snapshots_dropped"] = len(dropped)
     return stats
 
 
 def latest_labels(spark: SparkSession, state_dir: str,
                   before_batch: int | None = None) -> DataFrame:
-    """The most recent COMPLETE label snapshot (strictly before
-    ``before_batch`` when given — what a replayed batch must read)."""
+    """The merged label view (strictly before ``before_batch`` when given —
+    what a replayed batch must read): newest complete ``_base/epoch=<k>``
+    full snapshot plus every per-batch DELTA above it, reduced to each doc's
+    latest assignment (the newest batch id wins — a doc appears in at most
+    one row per delta, so the reduction is deterministic). r6: label state
+    is written O(delta) per batch (see :func:`link_batch`); this view is the
+    merge-on-read side of that trade."""
     root = f"{state_dir}/labels"
-    ids = _batch_ids(root)
-    if before_batch is not None:
-        ids = [i for i in ids if i < before_batch]
-    if not ids:
+    epochs = [e for e in _epoch_ids(f"{root}/_base")
+              if before_batch is None or e < before_batch]
+    base = max(epochs) if epochs else None
+    ids = [
+        i for i in _batch_ids(root)
+        if (before_batch is None or i < before_batch)
+        and (base is None or i > base)
+    ]
+    parts = []
+    if base is not None:
+        parts.append(
+            spark.read.parquet(f"{root}/_base/epoch={base}")
+            .select("doc_id", "cluster_id", F.lit(base).alias("_b"))
+        )
+    if ids:
+        parts.append(
+            spark.read.option("basePath", root)
+            .parquet(*[f"{root}/batch={i}" for i in ids])
+            .select("doc_id", "cluster_id",
+                    F.col("batch").cast("int").alias("_b"))
+        )
+    if not parts:
         return spark.createDataFrame([], "doc_id string, cluster_id string")
-    return spark.read.parquet(f"{root}/batch={ids[-1]}").select(
-        "doc_id", "cluster_id"
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("doc_id").agg(
+        F.max_by("cluster_id", "_b").alias("cluster_id")
     )
 
 
@@ -324,35 +368,62 @@ def link_batch(
                if cfg.use_media else None),
     )
 
-    # -- transitive label update: prior assignments enter as edges, so a new
-    # bridge document merges existing clusters (single-linkage semantics)
-    new_edges = scored.select(
-        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
-    )
-    label_edges = old_labels.select(
-        F.col("doc_id").alias("src"), F.col("cluster_id").alias("dst")
-    )
-    # eager localCheckpoint: the accepted edge set is small (cap-bounded per
-    # key, one batch's worth + one row per prior doc) and CC's self-joining
-    # rounds iterate over it — cutting lineage here keeps those rounds off
-    # the deep scoring plan (which also trips a Catalyst 4.1
+    # -- transitive label update, O(affected) per batch (r6): a component of
+    # (new edges ∪ prior assignments) that contains no new-edge endpoint is
+    # an unchanged prior cluster — its members keep their labels, so only
+    # clusters REACHED by a new edge need to enter CC at all, and only new
+    # or re-labelled docs need to be written. (Cluster ids are themselves
+    # member doc ids — the CC min label — so restricting the assignment
+    # edges to affected clusters preserves every merged component's min
+    # exactly; the r5 shape fed ALL prior assignments to CC and wrote a
+    # FULL O(corpus) snapshot per arrival, the documented per-batch floor.)
+    # eager localCheckpoint on the edge set: CC's self-joining rounds must
+    # not stack onto the deep scoring plan (also trips a Catalyst 4.1
     # attribute-resolution bug, NoSuchElementException key-not-found, when
     # the star-round self-joins stack onto this union un-materialized).
+    new_edges = scored.select(
+        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+    ).localCheckpoint()
+    old_labels = old_labels.persist()
+    endpoints = (
+        new_edges.select(F.col("src").alias("doc_id"))
+        .unionByName(new_edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    affected = old_labels.join(
+        old_labels.join(endpoints, "doc_id", "left_semi")
+        .select("cluster_id").distinct(),
+        "cluster_id", "left_semi",
+    )
+    label_edges = affected.select(
+        F.col("doc_id").alias("src"), F.col("cluster_id").alias("dst")
+    )
     labels = connected_components(
         new_edges.unionByName(label_edges).localCheckpoint(),
         cfg.max_cc_iterations,
     ).labels
-    all_ids = old_labels.select("doc_id").unionByName(new_ids).distinct()
-    full = all_ids.join(labels, "doc_id", "left").select(
+    updated_ids = new_ids.unionByName(affected.select("doc_id")).distinct()
+    full_updated = updated_ids.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
     )
+    delta = (
+        full_updated.join(
+            old_labels.select("doc_id", F.col("cluster_id").alias("_prev")),
+            "doc_id", "left",
+        )
+        .where(F.col("_prev").isNull()
+               | (F.col("_prev") != F.col("cluster_id")))
+        .select("doc_id", "cluster_id")
+    )
 
-    # -- the batch's commit point: the full label snapshot (deltas were
-    # written above; a replay overwrites all three batch=<id> dirs)
-    full.write.mode("overwrite").parquet(
+    # -- the batch's commit point: the label DELTA (new + re-labelled docs
+    # only; deltas were written above; a replay overwrites all three
+    # batch=<id> dirs and recomputes the identical delta from state < id)
+    delta.write.mode("overwrite").parquet(
         f"{state_dir}/labels/batch={batch_id}"
     )
-    return spark.read.parquet(f"{state_dir}/labels/batch={batch_id}")
+    old_labels.unpersist()
+    return latest_labels(spark, state_dir, before_batch=batch_id + 1)
 
 
 def incremental_er_stream(

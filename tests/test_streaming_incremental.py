@@ -226,3 +226,24 @@ def test_compact_state_refuses_newest_batch(spark, tmp_path):
     link_batch(spark, _doc(spark, "y", "ccc ddd"), state, 1, _cfg())
     with pytest.raises(ValueError, match="newest"):
         compact_state(spark, state, through_batch=1)
+
+
+def test_label_snapshots_are_deltas(spark, tmp_path):
+    """r6: labels/batch=<id> holds only NEW + RE-LABELLED docs (O(delta)
+    per batch, not the r5 O(corpus) full snapshot), while latest_labels
+    still reconstructs the complete merged view."""
+    state = str(tmp_path / "state")
+    a = _doc(spark, "a1", "alpha beta gamma|rotterdam")
+    b = _doc(spark, "b1", "delta epsilon zeta|utrecht")
+    link_batch(spark, a.union(b), state, 0, _cfg())
+    # batch 1: one doc near a1 — b1's cluster is untouched
+    out = link_batch(
+        spark, _doc(spark, "a2", "alpha beta gamma|rotterdam x"), state, 1,
+        _cfg())
+    d1 = {r["doc_id"] for r in
+          spark.read.parquet(f"{state}/labels/batch=1").collect()}
+    assert "a2" in d1          # the new doc is written
+    assert "b1" not in d1      # the untouched cluster is NOT rewritten
+    merged = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert set(merged) == {"a1", "a2", "b1"}
+    assert merged["a1"] == merged["a2"] != merged["b1"]
