@@ -35,6 +35,47 @@ from takco_spark.config import PipelineConfig
 from takco_spark.functions.similarity import make_lsh_band_udf
 
 
+class DeferredStats:
+    """Resolve-on-first-access proxy for blocking statistics.
+
+    The stats rollup is a driver sync (a collect over the cached key-size
+    table), and the hot pipeline paths never read it — the scaling legs and
+    the streaming per-batch path discard the stats entirely, and the
+    headline query consumes them only when a caller actually inspects them.
+    Deferring the collect removes one driver barrier per blocking pass
+    (guide §5: the driver should not sync mid-pipeline for data nobody
+    looks at); the observable-caps contract is unchanged — iterating,
+    indexing, truth-testing or attribute access forces the same aggregate,
+    once, memoized."""
+
+    def __init__(self, fn):
+        self._fn = fn
+        self._val = None
+
+    def _force(self):
+        if self._val is None:
+            self._val = self._fn()
+        return self._val
+
+    def __getattr__(self, name):  # proxied attribute access (e.g. .as_dict)
+        return getattr(self._force(), name)
+
+    def __iter__(self):
+        return iter(self._force())
+
+    def __len__(self):
+        return len(self._force())
+
+    def __getitem__(self, i):
+        return self._force()[i]
+
+    def __bool__(self):
+        return bool(self._force())
+
+    def __repr__(self):
+        return repr(self._force())
+
+
 @dataclass
 class BlockingStats:
     blocker: str
@@ -204,36 +245,39 @@ def apply_block_caps(
     Cost discipline (matters at scale): the raw block stream is persisted and
     scanned exactly TWICE (once to size keys, once to apply the caps); all
     drop/salt statistics come from ONE aggregate over the (small) key-size
-    table — never from repeated count() jobs over the big stream.
+    table — never from repeated count() jobs over the big stream — and that
+    aggregate is DEFERRED (r6): callers that never read the stats (the
+    streaming per-batch path discards them) pay no driver barrier at all,
+    and callers that do read them after the capped stream was consumed hit
+    the already-warm sizes cache.
     """
     blocks = blocks.persist()
     sizes = blocks.groupBy("block_key").agg(F.count("*").alias("n")).persist()
-    srow = sizes.agg(
-        F.count("*").alias("total"),
-        F.sum((F.col("n") > cfg.max_block_size).cast("long")).alias("dropped"),
-        F.sum(
-            (
-                (F.col("n") > cfg.salt_threshold)
-                & (F.col("n") <= cfg.max_block_size)
-            ).cast("long")
-        ).alias("salted"),
-        _salt_excluded_expr(cfg.salt_threshold, cfg.max_block_size).alias("salt_excl"),
-    ).collect()[0]
-    total = int(srow["total"] or 0)
-    n_dropped = int(srow["dropped"] or 0)
-    n_salted = int(srow["salted"] or 0)
-    n_salt_excl = int(srow["salt_excl"] or 0)
+
+    def _compute() -> BlockingStats:
+        srow = sizes.agg(
+            F.count("*").alias("total"),
+            F.sum((F.col("n") > cfg.max_block_size).cast("long")).alias("dropped"),
+            F.sum(
+                (
+                    (F.col("n") > cfg.salt_threshold)
+                    & (F.col("n") <= cfg.max_block_size)
+                ).cast("long")
+            ).alias("salted"),
+            _salt_excluded_expr(cfg.salt_threshold, cfg.max_block_size).alias(
+                "salt_excl"),
+        ).collect()[0]
+        return BlockingStats(
+            blocker=blocker,
+            total_keys=int(srow["total"] or 0),
+            dropped_keys=int(srow["dropped"] or 0),
+            salted_keys=int(srow["salted"] or 0),
+            candidate_rows=-1,
+            salted_pairs_excluded_est=int(srow["salt_excl"] or 0),
+        )
 
     out = _apply_cap_map(blocks, sizes, cfg)
-    stats = BlockingStats(
-        blocker=blocker,
-        total_keys=int(total),
-        dropped_keys=int(n_dropped),
-        salted_keys=int(n_salted),
-        candidate_rows=-1,
-        salted_pairs_excluded_est=n_salt_excl,
-    )
-    return out, stats
+    return out, DeferredStats(_compute)
 
 
 def global_hot_tokens(features: DataFrame, cfg: PipelineConfig,
@@ -373,34 +417,43 @@ def block_documents(
     sizes = raw.groupBy("block_key").agg(
         F.count("*").alias("n"), F.max("ns").alias("ns")
     ).persist()
-    srows = (
-        sizes.groupBy("ns")
-        .agg(
-            F.count("*").alias("total"),
-            F.sum((F.col("n") > cfg.max_block_size).cast("long")).alias("dropped"),
-            F.sum(
-                (
-                    (F.col("n") > cfg.salt_threshold)
-                    & (F.col("n") <= cfg.max_block_size)
-                ).cast("long")
-            ).alias("salted"),
-            _salt_excluded_expr(cfg.salt_threshold, cfg.max_block_size).alias(
-                "salt_excl"
-            ),
+    def _compute_stats() -> list[BlockingStats]:
+        srows = (
+            sizes.groupBy("ns")
+            .agg(
+                F.count("*").alias("total"),
+                F.sum((F.col("n") > cfg.max_block_size).cast("long")).alias(
+                    "dropped"),
+                F.sum(
+                    (
+                        (F.col("n") > cfg.salt_threshold)
+                        & (F.col("n") <= cfg.max_block_size)
+                    ).cast("long")
+                ).alias("salted"),
+                _salt_excluded_expr(cfg.salt_threshold, cfg.max_block_size).alias(
+                    "salt_excl"
+                ),
+            )
+            .collect()
         )
-        .collect()
-    )
-    stats = [
-        BlockingStats(
-            blocker=_NS_NAMES.get(r["ns"], str(r["ns"])),
-            total_keys=int(r["total"] or 0),
-            dropped_keys=int(r["dropped"] or 0),
-            salted_keys=int(r["salted"] or 0),
-            candidate_rows=-1,
-            salted_pairs_excluded_est=int(r["salt_excl"] or 0),
-        )
-        for r in srows
-    ]
+        return [
+            BlockingStats(
+                blocker=_NS_NAMES.get(r["ns"], str(r["ns"])),
+                total_keys=int(r["total"] or 0),
+                dropped_keys=int(r["dropped"] or 0),
+                salted_keys=int(r["salted"] or 0),
+                candidate_rows=-1,
+                salted_pairs_excluded_est=int(r["salt_excl"] or 0),
+            )
+            for r in srows
+        ]
+
+    # DEFERRED (r6): the per-blocker rollup collect was a mid-pipeline
+    # driver barrier that forced `raw` to materialize in its own job before
+    # the caps/pairs job could start; deferred, the whole blocking union,
+    # the cap broadcast and the pair generation run as ONE job, and the
+    # rollup (when a caller reads it) replays from the warm sizes cache.
+    stats = DeferredStats(_compute_stats)
 
     out = _apply_cap_map(raw, sizes, cfg)
     # NOT persisted: the pipeline consumes blocks ONCE (candidate_pairs is a

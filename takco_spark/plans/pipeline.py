@@ -122,16 +122,26 @@ def run_pipeline(
 
         media = doc_media_features(er_docs).persist()
 
-    blocking_stats: list[dict] = []
+    stats_box: dict = {}
 
     def _blocks() -> DataFrame:
         out, st = block_documents(features, cfg, embeddings=embeddings,
                                   media=media)
-        blocking_stats.extend(s.as_dict() for s in st)
+        stats_box["st"] = st
         return out
 
     blocks = ckpt.stage("blocks", _blocks, extra_metrics={"cfg": cfg.blockers})
-    stats["blocking"] = blocking_stats
+    # stats stay DEFERRED (operators.blocking.DeferredStats): reading them
+    # is a driver sync the timed paths never pay; first access (tests,
+    # diagnostics) forces one rollup aggregate off the cached key sizes.
+    # A checkpoint-resumed run skipped the blocking closure entirely and
+    # reports no stats, as before.
+    from takco_spark.operators.blocking import DeferredStats
+
+    stats["blocking"] = DeferredStats(
+        lambda: [s.as_dict() for s in stats_box["st"]]
+        if "st" in stats_box else []
+    )
 
     def _pairs_scored() -> DataFrame:
         pairs = candidate_pairs(blocks)
