@@ -70,7 +70,7 @@ def refine_clusters(
     pair_sims: DataFrame,
     threshold: float = 0.8,
     source_col: str | None = None,
-    max_group_size: int = 1000,
+    max_group_size: int | None = 1000,
 ) -> DataFrame:
     """Split coarse CC clusters with complete-linkage at a stricter threshold.
 
@@ -87,15 +87,24 @@ def refine_clusters(
     linkage; such clusters PASS THROUGH unrefined (refined_id =
     '{cluster_id}/0'). The skip is observable via
     :func:`oversized_refine_stats` — never silent.
+    ``max_group_size=None`` disables the guard entirely — for callers that
+    ALREADY bound every cluster (the pipeline runs refine after the G2
+    rechunk, whose slices can never exceed ``cfg.max_cluster_size``, so the
+    guard's sizes scan and the two broadcast joins would drop exactly
+    nothing; r6 measured them as pure fixed cost on the aligned headline).
     """
-    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("_csize"))
-    big_ids = sizes.where(F.col("_csize") > max_group_size).select("cluster_id")
-    passthrough = labels.join(F.broadcast(big_ids), "cluster_id").select(
-        "doc_id",
-        "cluster_id",
-        F.concat(F.col("cluster_id"), F.lit("/0")).alias("refined_id"),
-    )
-    labels = labels.join(F.broadcast(big_ids), "cluster_id", "left_anti")
+    if max_group_size is None:
+        passthrough = None
+    else:
+        sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("_csize"))
+        big_ids = sizes.where(
+            F.col("_csize") > max_group_size).select("cluster_id")
+        passthrough = labels.join(F.broadcast(big_ids), "cluster_id").select(
+            "doc_id",
+            "cluster_id",
+            F.concat(F.col("cluster_id"), F.lit("/0")).alias("refined_id"),
+        )
+        labels = labels.join(F.broadcast(big_ids), "cluster_id", "left_anti")
     l1 = labels.select(
         F.col("doc_id").alias("doc_id_1"), F.col("cluster_id")
     )
@@ -151,6 +160,8 @@ def refine_clusters(
     grouped = members.repartition(par, "cluster_id").groupBy("cluster_id").cogroup(
         sims_side.repartition(par, "_cid").groupBy("_cid")
     ).applyInPandas(lambda left, right: run(left, right), REFINE_SCHEMA)
+    if passthrough is None:
+        return grouped
     return grouped.unionByName(passthrough)
 
 

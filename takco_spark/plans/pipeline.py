@@ -216,9 +216,12 @@ def run_pipeline(
         from takco_spark.operators.refine import refine_clusters
 
         def _refined() -> DataFrame:
-            # belt-and-braces: refine has its own size guard even when the
-            # G2 rechunk is disabled (max_cluster_size=0)
-            guard = cfg.max_cluster_size if cfg.max_cluster_size else 1000
+            # With the G2 rechunk on, every incoming cluster is already
+            # bounded at max_cluster_size, so refine's own guard could drop
+            # exactly nothing — skip its sizes scan + broadcast joins
+            # (guard=None). Belt-and-braces guard only when the rechunk is
+            # disabled (max_cluster_size=0).
+            guard = None if cfg.max_cluster_size else 1000
             refined = refine_clusters(
                 components.select("doc_id", "cluster_id"),
                 pairs_scored.select("doc_id_1", "doc_id_2", "agg_sim"),

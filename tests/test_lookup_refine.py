@@ -96,3 +96,22 @@ def test_novelty_counts(spark):
            for r in novelty_counts(kinds, gold, pred).collect()}
     assert got["new_entity"] == (1, 1, 0)
     assert got["new_value"] == (0, 1, 1)
+
+
+def test_refine_guard_none_equals_unbounded_guard(spark):
+    """max_group_size=None (caller guarantees bounded clusters) must produce
+    exactly the guarded result when no cluster exceeds the guard."""
+    from takco_spark.operators.refine import refine_clusters
+
+    labels = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c1"), ("d", "c2"), ("e", "c2")],
+        "doc_id string, cluster_id string")
+    sims = spark.createDataFrame(
+        [("a", "b", 0.95), ("b", "c", 0.4), ("d", "e", 0.9)],
+        "doc_id_1 string, doc_id_2 string, agg_sim double")
+    guarded = refine_clusters(labels, sims, threshold=0.8,
+                              max_group_size=10**6)
+    unguarded = refine_clusters(labels, sims, threshold=0.8,
+                                max_group_size=None)
+    assert (sorted(map(tuple, guarded.collect()))
+            == sorted(map(tuple, unguarded.collect())))
