@@ -77,17 +77,42 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _checksum(edges: DataFrame) -> tuple[int, int]:
-    row = edges.agg(
-        F.count("*").alias("n"),
-        # "|" separator (visible, judge-auditable): without a separator
-        # ("ab","c") and ("a","bc") would hash alike; a public operator over
-        # arbitrary string ids must not alias
-        F.coalesce(F.sum(F.crc32(F.concat_ws("|", "src", "dst"))), F.lit(0)).alias(
-            "h"
-        ),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+def _star_stats(edges: DataFrame) -> tuple[int, bool]:
+    """(edge count, is the set already a depth-1 star forest?).
+
+    A depth-1 star forest — every src appears exactly once and no node is
+    both a src and a dst — IS a fixed point of large-star/small-star (both
+    operators map it to itself; see the convergence comment in
+    :func:`connected_components`), and conversely every fixed point is such
+    a forest. Testing the property directly on round i's output detects
+    convergence ONE ROUND EARLIER than the r5 protocol (compare consecutive
+    rounds' checksums), which always paid an extra confirming round — a full
+    large-star/small-star pass, ~3 shuffles + a localCheckpoint — just to
+    observe that nothing changed. The test itself is one narrow shuffle of
+    the 2|E| node-role rows folded into the same aggregate job that
+    materializes the round's lazy checkpoint."""
+    nodes = edges.select(
+        F.col("src").alias("node"), F.lit(1).alias("ns"), F.lit(0).alias("nd")
+    ).unionByName(
+        edges.select(
+            F.col("dst").alias("node"), F.lit(0).alias("ns"), F.lit(1).alias("nd")
+        )
+    )
+    row = (
+        nodes.groupBy("node")
+        .agg(F.sum("ns").alias("ns"), F.sum("nd").alias("nd"))
+        .agg(
+            F.coalesce(F.sum("ns"), F.lit(0)).alias("n_edges"),
+            F.coalesce(F.max("ns"), F.lit(0)).alias("max_out"),
+            F.coalesce(
+                F.sum(((F.col("ns") > 0) & (F.col("nd") > 0)).cast("int")),
+                F.lit(0),
+            ).alias("both_roles"),
+        )
+        .collect()[0]
+    )
+    is_star = int(row["max_out"]) <= 1 and int(row["both_roles"]) == 0
+    return int(row["n_edges"]), is_star
 
 
 def connected_components(
@@ -99,37 +124,39 @@ def connected_components(
     plan never grows (the reference's Louvain is a single-machine black box —
     this is its distributed replacement, SURVEY.md G1).
     """
-    # lazy localCheckpoint: the checksum aggregate is the action that
+    # lazy localCheckpoint: the star-stats aggregate is the action that
     # materializes each round's checkpoint — ONE Spark job per round instead
     # of two (job-count is the fixed cost that dominates small/medium runs;
     # on a cluster it's driver round-trips). There is NO standalone job for
-    # the canonical edge set either: round 1's checksum materializes both
+    # the canonical edge set either: round 1's aggregate materializes both
     # checkpoints in one job (no round can converge against the raw input —
-    # the input isn't canonical-star-shaped — so the initial checksum only
-    # ever served as a baseline, at the cost of a driver sync).
+    # the input isn't canonical-star-shaped — so an initial stats job only
+    # ever served as a baseline, at the cost of a driver sync). Convergence
+    # is the DIRECT star-forest property test (see _star_stats) rather than
+    # the r5 compare-consecutive-checksums protocol, so the loop exits at
+    # the round that REACHES the fixed point instead of paying one more
+    # full round to confirm it.
     cur = _canonical(edges).localCheckpoint(eager=False)
-    prev_sum: tuple[int, int] | None = None
     counts: list[int] = []
     converged = False
     iterations = 0
     for i in range(max_iterations):
         iterations = i + 1
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
-        cur_sum = _checksum(cur)
-        counts.append(cur_sum[0])
-        if cur_sum == prev_sum:
+        n_edges, is_star = _star_stats(cur)
+        counts.append(n_edges)
+        if is_star:
             converged = True
             break
-        prev_sum = cur_sum
 
     # star graph: every src points at its component root (dst)
     roots = cur.select(F.col("dst").alias("doc_id"), F.col("dst").alias("cluster_id"))
     members = cur.select(F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id"))
     if converged:
-        # a large-star/small-star fixed point is a depth-1 star forest: every
-        # member src appears exactly once and no root is a member, so only
-        # the root rows need dedup — the member side passes through with no
-        # shuffle (r5 ran distinct over the full 2|E| union; guide §2.4).
+        # converged ⟺ _star_stats PROVED the set is a depth-1 star forest
+        # (every member src appears exactly once, no root is a member), so
+        # only the root rows need dedup — the member side passes through
+        # with no shuffle (r5 ran distinct over the full 2|E| union; §2.4).
         labels = roots.distinct().unionByName(members)
     else:
         # non-star residue can carry >1 label per node — collapse to the min

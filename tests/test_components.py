@@ -184,3 +184,39 @@ def test_cc_refine_matches_louvain_wikitables_regime(spark):
     assert f1_refined > f1_cc  # refine moves CC toward Louvain
     assert 0.83 < f1_cc < 0.86
     assert 0.86 < f1_refined < 0.89
+
+
+def test_cc_star_forest_input_converges_in_one_round(spark):
+    # the convergence test is the DIRECT star-forest property (r6): an input
+    # that is already a depth-1 star forest must be detected at round 1 —
+    # the r5 compare-consecutive-checksums protocol always paid one more
+    # confirming round — with labels identical to the fixed-point shortcut.
+    edges = [("d001", "d000"), ("d002", "d000"), ("d005", "d004")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    res = connected_components(df)
+    assert res.converged
+    assert res.iterations == 1
+    got = {r["doc_id"]: r["cluster_id"] for r in res.labels.collect()}
+    assert got == {
+        "d000": "d000", "d001": "d000", "d002": "d000",
+        "d004": "d004", "d005": "d004",
+    }
+
+
+def test_cc_non_star_detection_never_early_exits_wrongly(spark):
+    # two triangles sharing no nodes plus a 4-chain: needs real rounds; the
+    # star test must only fire once the set is a genuine depth-1 forest
+    edges = [
+        ("d001", "d000"), ("d002", "d001"), ("d002", "d000"),
+        ("d011", "d010"), ("d012", "d011"), ("d012", "d010"),
+        ("d021", "d020"), ("d022", "d021"), ("d023", "d022"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    res = connected_components(df)
+    assert res.converged
+    got = {r["doc_id"]: r["cluster_id"] for r in res.labels.collect()}
+    for i in (0, 1, 2):
+        assert got[f"d00{i}"] == "d000"
+        assert got[f"d01{i}"] == "d010"
+    for i in (0, 1, 2, 3):
+        assert got[f"d02{i}"] == "d020"
