@@ -115,51 +115,81 @@ def refine_clusters(
     cols = ["doc_id", "cluster_id"] + ([source_col] if source_col else [])
     members = labels.select(*cols)
 
-    def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(left) == 0:  # sims for a cluster with no member rows: nothing
-            return pd.DataFrame(
-                {"doc_id": [], "cluster_id": [], "refined_id": []}
-            )
-        cluster_id = left["cluster_id"].iloc[0]
-        items = left["doc_id"].tolist()
-        forbid = (
-            dict(zip(left["doc_id"], left[source_col])) if source_col else {}
-        )
-        sims: dict[tuple[str, str], float] = {}
-        for a, b, s in zip(right["doc_id_1"], right["doc_id_2"],
-                           right["agg_sim"]):
-            key = (a, b) if a < b else (b, a)
-            sims[key] = max(sims.get(key, 0.0), float(s))
-        assign = _complete_linkage(items, sims, forbid, threshold)
-        return pd.DataFrame(
-            {
-                "doc_id": items,
-                "cluster_id": [cluster_id] * len(items),
-                "refined_id": [f"{cluster_id}/{assign[x]}" for x in items],
-            }
-        )
+    # One BUNDLE ROW per coarse cluster on each side (collect_list over the
+    # cluster key), joined cluster-to-cluster — members and sims still each
+    # shuffle exactly once and nothing is duplicated (the join is 1:1 on the
+    # cluster key; only joining sims onto MEMBER rows would copy the O(k²)
+    # payload k times). Group payload stays bounded by max_group_size. The r5
+    # shape was a per-cluster applyInPandas COGROUP, which constructs and
+    # validates a pandas frame pair + a result frame PER GROUP — measured
+    # 33 core-s for 3,000 tiny groups at sf0.1 (~11 ms/group of pure
+    # per-group overhead, the dominant node of the whole aligned save
+    # phase). The bundled form runs ONE vectorized UDF call per ~10k
+    # clusters; the per-cluster Python is just the linkage itself.
+    mem_struct = (
+        F.struct(F.col("doc_id"), F.col(source_col).alias("src"))
+        if source_col
+        else F.struct(F.col("doc_id"))
+    )
+    sims_b = sims_in_cluster.groupBy("cluster_id").agg(
+        F.collect_list(
+            F.struct("doc_id_1", "doc_id_2", "agg_sim")
+        ).alias("simrows")
+    )
 
-    # one COGROUP per coarse cluster: members and sims each shuffle ONCE as
-    # rows (a collect_list-then-join would copy the O(k²) sims payload onto
-    # every member row — k× duplication before the grouping); group payload
-    # stays bounded by max_group_size
-    sims_side = sims_in_cluster.select(
-        F.col("cluster_id").alias("_cid"), "doc_id_1", "doc_id_2", "agg_sim"
-    )  # renamed key: both cogroup sides descend from `labels`, and Spark
-    # rejects the ambiguous self-referenced grouping column otherwise
-    #
-    # Pin the group shuffle's partition count: per-group cost here is O(k³)
-    # PYTHON compute on a few hundred BYTES, so AQE's byte-based coalescing
-    # (minPartitionSize 1 MB) collapses the whole stage to one task — a
-    # measured 7.3 s single-task stage in a 25 s pipeline at sf0.1. An
-    # explicit repartition on the group key is exempt from AQE coalescing
-    # and is reused by the cogroup (same hash partitioning), so this costs
-    # no extra shuffle; defaultParallelism is the deployment's
-    # tasks-per-core sizing.
+    def refine_batch(mem: pd.Series, simrows: pd.Series) -> pd.Series:
+        out = []
+        for m, sr in zip(mem, simrows):
+            items = [r["doc_id"] for r in m]
+            forbid = (
+                {r["doc_id"]: r["src"] for r in m} if source_col else {}
+            )
+            sims: dict[tuple[str, str], float] = {}
+            if sr is not None:
+                for r in sr:
+                    a, b = r["doc_id_1"], r["doc_id_2"]
+                    key = (a, b) if a < b else (b, a)
+                    s = float(r["agg_sim"])
+                    if key not in sims or s > sims[key]:
+                        sims[key] = s
+            assign = _complete_linkage(items, sims, forbid, threshold)
+            out.append([assign[x] for x in items])
+        return pd.Series(out)
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    refine_udf = pandas_udf(refine_batch, ArrayType(IntegerType()))
+    # Pin the bundle shuffle's partition count: per-row cost is O(k³) PYTHON
+    # compute on a few hundred BYTES, so AQE's byte-based coalescing would
+    # collapse the stage to a few tasks (the r5 note: a measured 7.3 s
+    # single-task stage at sf0.1). The explicit keyed repartition is exempt
+    # from coalescing and is reused by the groupBy (same hash partitioning,
+    # same count), so it costs no extra shuffle; defaultParallelism is the
+    # deployment's tasks-per-core sizing. A left join keeps sims-less
+    # clusters (all-singleton split), and sims-only bundles — sims whose
+    # cluster has no member rows — drop, exactly as the cogroup did.
     par = members.sparkSession.sparkContext.defaultParallelism
-    grouped = members.repartition(par, "cluster_id").groupBy("cluster_id").cogroup(
-        sims_side.repartition(par, "_cid").groupBy("_cid")
-    ).applyInPandas(lambda left, right: run(left, right), REFINE_SCHEMA)
+    bundle = (
+        members.repartition(par, "cluster_id")
+        .groupBy("cluster_id")
+        .agg(F.collect_list(mem_struct).alias("mem"))
+        .join(sims_b, "cluster_id", "left")
+        .withColumn("assign", refine_udf("mem", "simrows"))
+        .select(
+            "cluster_id",
+            F.col("mem.doc_id").alias("ids"),
+            F.col("assign"),
+        )
+    )
+    grouped = bundle.select(
+        "cluster_id", F.explode(F.arrays_zip("ids", "assign")).alias("z")
+    ).select(
+        F.col("z.ids").alias("doc_id"),
+        "cluster_id",
+        F.concat(F.col("cluster_id"), F.lit("/"),
+                 F.col("z.assign").cast("string")).alias("refined_id"),
+    )
     if passthrough is None:
         return grouped
     return grouped.unionByName(passthrough)

@@ -178,6 +178,7 @@ def get_spark(
             total = max(1, n_exec * cores_per)
             shuffle_partitions = max(16, 4 * total)
             confs["spark.default.parallelism"] = str(3 * total)
+            confs["spark.takco_spark.widen.partitions"] = str(total)
         except ValueError:
             shuffle_partitions = 64
     elif shuffle_partitions is None and master.startswith("local["):
@@ -190,6 +191,20 @@ def get_spark(
             # CPU-heavy ones wide. Cluster guidance unchanged (2-3× total
             # executor cores).
             shuffle_partitions = max(16, 4 * cores)
+            # The widen_input defense repartition targets ONE task per core
+            # (sources/readers.widen_input reads this key): it exists to
+            # restore full parallelism on under-partitioned small inputs,
+            # where per-task fixed costs (Python worker round-trips most of
+            # all) dominate — extra waves only help under skew, and the
+            # widened tables are uniform narrow rows. defaultParallelism
+            # stays 3× cores for the AQE coalescing floor below, which is a
+            # different trade (post-shuffle stages smooth over waves). On a
+            # vanilla spark-submit cluster this key is absent and widen
+            # falls back to defaultParallelism = total executor cores —
+            # already one wave. Measured (sf0.1 local[32], fresh JVM, min of
+            # 2, widen 96 → 32): spans 3.12 → 2.38 s, simhash 1.44 → 1.06 s,
+            # minhash 1.98 → 1.47 s, aligned 7.59 → 7.13 s.
+            confs["spark.takco_spark.widen.partitions"] = str(cores)
             # AQE's parallelismFirst floors coalescing at defaultParallelism
             # (= the core count in local mode), which quantizes stages into
             # uneven waves: a stage coalesced to 5-6 tasks on 4 cores runs

@@ -31,7 +31,22 @@ def widen_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     Repartition nodes (PushDownPredicates).
     """
     sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
+    if min_partitions:
+        target = min_partitions
+    else:
+        # one task per core (the session factory records the physical core
+        # count under this key; see its comment): the defense repartition
+        # restores parallelism on under-partitioned SMALL inputs, where
+        # per-task fixed cost — Python worker round-trips above all — makes
+        # extra waves strictly worse. On a deployment that does not set the
+        # key, defaultParallelism (= total executor cores on a vanilla
+        # cluster) is the same one-wave sizing.
+        try:
+            target = int(sc.getConf().get(
+                "spark.takco_spark.widen.partitions",
+                str(sc.defaultParallelism)))
+        except Exception:  # noqa: BLE001 — conf access never worth failing on
+            target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
