@@ -89,9 +89,10 @@ def _signature_chunks(token_hashes: pd.Series, num_perm: int,
     chunked so the (num_perm × total_tokens) scratch matrix stays bounded.
     Whole chunks go through ONE _minhash_matrix call (minimum.reduceat over
     concatenated runs) — no per-row Python in the hot path."""
+    vals = token_hashes.to_numpy()  # object array of per-row int64 ndarrays
     lens = np.fromiter(
-        (0 if h is None else len(h) for h in token_hashes), dtype=np.int64,
-        count=len(token_hashes),
+        (0 if h is None else len(h) for h in vals), dtype=np.int64,
+        count=len(vals),
     )
     nonempty = np.nonzero(lens > 0)[0]
     if len(nonempty) == 0:
@@ -105,7 +106,12 @@ def _signature_chunks(token_hashes: pd.Series, num_perm: int,
             total += lens[nonempty[end]]
             end += 1
         idxs = nonempty[start:end]
-        runs = [np.asarray(token_hashes.iloc[i], dtype=np.int64).astype(np.uint64)
+        # int64 → uint64 via VIEW, not astype: bit-reinterpretation equals
+        # the modulo-2⁶⁴ wrap astype performs on negative hashes (two's
+        # complement), with no per-row copy. np.asarray is a no-op on the
+        # Arrow-delivered int64 ndarrays and only materializes for plain
+        # lists (tests).
+        runs = [np.asarray(vals[i], dtype=np.int64).view(np.uint64)
                 for i in idxs]
         hashes = np.concatenate(runs)
         offsets = np.zeros(len(runs), dtype=np.int64)
@@ -123,9 +129,10 @@ def make_lsh_band_udf(num_perm: int, bands: int, seed: int):
     def lsh_bands(token_hashes: pd.Series) -> pd.Series:
         out: list[list[int] | None] = [None] * len(token_hashes)
         for idxs, sigs in _signature_chunks(token_hashes, num_perm, a, b):
-            keys = _band_keys(sigs, bands)
+            # one C-level tolist for the whole chunk instead of per row
+            keys = _band_keys(sigs, bands).tolist()
             for row, i in enumerate(idxs):
-                out[i] = keys[row].tolist()
+                out[i] = keys[row]
         return pd.Series(out)
 
     return lsh_bands
@@ -142,9 +149,9 @@ def make_minhash_signature_udf(num_perm: int, seed: int):
     def minhash_sig(token_hashes: pd.Series) -> pd.Series:
         out: list[list[int] | None] = [None] * len(token_hashes)
         for idxs, sigs in _signature_chunks(token_hashes, num_perm, a, b):
-            s64 = sigs.view(np.int64)
+            s64 = sigs.view(np.int64).tolist()  # one C-level tolist per chunk
             for row, i in enumerate(idxs):
-                out[i] = s64[row].tolist()
+                out[i] = s64[row]
         return pd.Series(out)
 
     return minhash_sig

@@ -241,15 +241,18 @@ def make_simhash_udf(seed: int = 42):
     def simhash(token_hashes: pd.Series) -> pd.Series:
         n = len(token_hashes)
         out = np.zeros(n, dtype=np.uint64)
+        vals = token_hashes.to_numpy()
         lens = np.fromiter(
-            (0 if h is None else len(h) for h in token_hashes),
+            (0 if h is None else len(h) for h in vals),
             dtype=np.int64, count=n,
         )
         nonempty = np.nonzero(lens > 0)[0]
         if len(nonempty):
+            # view (bit-reinterpret) == astype's modulo-2⁶⁴ wrap for int64 →
+            # uint64, without the copy (same as _signature_chunks)
             flat = np.concatenate(
-                [np.asarray(token_hashes.iloc[i], dtype=np.int64) for i in nonempty]
-            ).astype(np.uint64)
+                [np.asarray(vals[i], dtype=np.int64) for i in nonempty]
+            ).view(np.uint64)
             # (total_tokens, 64) bit matrix, bit j of hash at column j
             bits = np.unpackbits(
                 flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
