@@ -243,3 +243,20 @@ def test_cluster_leg_merge_skips_incomparable_legs():
     bench._merge_cluster_legs({"2->8": base}, 1, 4, walls, meta,
                               n_docs=600, per_exec=1024)
     assert walls == {1: [300.0], 4: [100.0]}
+
+
+def test_renderers_survive_the_real_bench_dir():
+    """Every artifact-glob renderer must consume the repo's ACTUAL BENCH/
+    directory without raising. Regression guard for the r6-continuation
+    incident: an extra evidence file named stage_run_c4_interleave_r6b.json
+    matched _stage_table_md's stage_run_c*.json glob and crashed a full
+    frozen-protocol bench run at its final page render (KeyError: 'cores') —
+    the exact failure class that makes a round unmeasurable. New BENCH/
+    files must not collide with result_run_*, stage_run_x*, stage_run_c*,
+    aligned_stage_run_c*, mem_ab_d*, or incremental_run_* unless they carry
+    those schemas."""
+    for render in (bench._stage_table_md, bench._mem_ab_md,
+                   bench._aligned_md, bench._incremental_md,
+                   bench._cluster_md, bench._triage_md, bench._cross_run_md):
+        out = render()
+        assert isinstance(out, str)
